@@ -1,0 +1,56 @@
+"""Native (C++) audio ingest library loader.
+
+The shared library `libssakaudio.so` provides the hot host-side codecs
+(MP3 Layer III decode, FLAC decode, fast WAV scan) used by the data
+pipeline. It is built on demand from the bundled sources with g++:
+
+    python -m ssak_tpu.audio.native.build
+
+Loading is lazy and optional: pure-Python fallbacks exist for WAV; MP3/FLAC
+require the native library.
+"""
+
+import ctypes
+import os
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "libssakaudio.so")
+
+
+def get_native_lib(auto_build: bool = True):
+    """Return the loaded ctypes library, building it if needed. None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None:
+        return _LIB
+    if _TRIED and not auto_build:
+        return None
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path) and auto_build:
+        try:
+            from ssak_tpu.audio.native.build import build
+
+            build()
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.ssak_mp3_decode.restype = ctypes.c_long
+    lib.ssak_mp3_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    _LIB = lib
+    return _LIB
