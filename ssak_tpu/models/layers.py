@@ -1,0 +1,169 @@
+"""Shared neural net layers: pure functions over param pytrees.
+
+ssak_tpu models are plain pytrees of jnp arrays + pure apply functions —
+no Module framework. This keeps the whole model jit/pjit-transparent, makes
+HF checkpoint import a pure key-mapping problem, and lets sharding rules be
+written as regexes over param paths (ssak_tpu.parallel.sharding).
+
+Conventions: activations (B, T, D); attention heads folded as (B, T, H, Dh);
+matmuls run in `dtype` (bfloat16 on TPU) with float32 accumulation
+(preferred_element_type) so the MXU is used at full rate.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def layer_norm(x, params, eps: float = 1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+def group_norm(x, params, num_groups: int, eps: float = 1e-5):
+    """x: (..., C). GroupNorm over channel groups."""
+    C = x.shape[-1]
+    g = x.reshape(x.shape[:-1] + (num_groups, C // num_groups))
+    mu = jnp.mean(g, axis=-1, keepdims=True)
+    var = jnp.var(g, axis=-1, keepdims=True)
+    g = (g - mu) * jax.lax.rsqrt(var + eps)
+    return g.reshape(x.shape) * params["scale"] + params["bias"]
+
+
+def dense(x, params, dtype=None):
+    w = params["kernel"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(jnp.float32)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"]
+    return y
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sinusoid_position_embedding(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Whisper-style sinusoids (length, channels): [sin | cos] halves."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+def split_heads(x, n_heads: int):
+    B, T, D = x.shape
+    return x.reshape(B, T, n_heads, D // n_heads)
+
+
+def merge_heads(x):
+    B, T, H, Dh = x.shape
+    return x.reshape(B, T, H * Dh)
+
+
+def attention(
+    q, k, v,
+    mask=None,
+    dtype=jnp.bfloat16,
+    scale=None,
+):
+    """q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh). mask: broadcastable to
+    (B, H, Tq, Tk), True = attend. Softmax in float32."""
+    Dh = q.shape[-1]
+    scale = scale if scale is not None else Dh ** -0.5
+    qh = (q * scale).astype(dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k.astype(dtype), preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype), preferred_element_type=jnp.float32)
+    return out.astype(jnp.float32)
+
+
+def mha(
+    x, params, n_heads: int,
+    kv_x=None,
+    mask=None,
+    cache=None,
+    cache_index=None,
+    dtype=jnp.bfloat16,
+):
+    """Multi-head attention with optional cross-attention inputs and KV cache.
+
+    params: {query, key, value, out} each {kernel, [bias]}.
+    cache: optional dict {k: (B, L, H, Dh), v: ...}; when given with
+    cache_index, new k/v are written at that position and attention runs
+    over the full cache (decode step). Returns (y, new_cache).
+    """
+    src = x if kv_x is None else kv_x
+    q = split_heads(dense(x, params["query"], dtype), n_heads)
+    k = split_heads(dense(src, params["key"], dtype), n_heads)
+    v = split_heads(dense(src, params["value"], dtype), n_heads)
+    new_cache = None
+    if cache is not None:
+        if cache_index is not None:
+            k = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
+        new_cache = {"k": k, "v": v}
+    y = attention(q, k, v, mask=mask, dtype=dtype)
+    return dense(merge_heads(y), params["out"], dtype), new_cache
+
+
+def mlp(x, params, dtype=jnp.bfloat16, activation=gelu):
+    return dense(activation(dense(x, params["fc1"], dtype)), params["fc2"], dtype)
+
+
+def causal_mask(Tq: int, Tk: int, offset: int = 0):
+    """(1, 1, Tq, Tk) boolean lower-triangular mask; offset shifts query
+    positions (for cached decode)."""
+    q = jnp.arange(Tq)[:, None] + offset
+    k = jnp.arange(Tk)[None, :]
+    return (k <= q)[None, None]
+
+
+def conv1d(x, params, stride: int = 1, padding="SAME", groups: int = 1, dtype=jnp.bfloat16):
+    """x: (B, T, Cin); kernel: (K, Cin/groups, Cout)."""
+    w = params["kernel"]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w.astype(dtype),
+        window_strides=(stride,),
+        padding=padding if isinstance(padding, str) else [padding],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"]
+    return y
+
+
+# --- initializers ---------------------------------------------------------
+
+
+def linear_init(key, d_in, d_out, bias=True, scale=None):
+    k1, _ = jax.random.split(key)
+    std = scale if scale is not None else (1.0 / math.sqrt(d_in))
+    p = {"kernel": jax.random.normal(k1, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def ln_init(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def conv_init(key, k, c_in, c_out, bias=True, groups: int = 1):
+    std = 1.0 / math.sqrt(k * c_in / groups)
+    p = {"kernel": jax.random.normal(key, (k, c_in // groups, c_out), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((c_out,), jnp.float32)
+    return p

@@ -1,0 +1,243 @@
+"""Whisper encoder-decoder in pure JAX.
+
+TPU-native re-implementation of the Whisper architecture used by the
+reference's whisper/transformers backends (ssak/infer/whisper_infer.py,
+whisper_infer_v2.py): conv-downsampled mel encoder + autoregressive text
+decoder.  Decode runs as a lax.scan over a static token budget with a
+preallocated KV cache (static shapes, one compilation), instead of the
+reference's eager per-token loop inside openai-whisper.
+
+Weights import from HF/openai checkpoints via ssak_tpu.models.hf_loader
+(same capability as reference hf_to_whisper_states:196, in reverse).
+"""
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssak_tpu.models import layers as L
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    # special tokens (multilingual vocab defaults)
+    sot: int = 50258
+    eot: int = 50257
+    no_timestamps: int = 50363
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+PRESETS = {
+    "tiny": dict(n_audio_state=384, n_audio_head=6, n_audio_layer=4, n_text_state=384, n_text_head=6, n_text_layer=4),
+    "base": dict(n_audio_state=512, n_audio_head=8, n_audio_layer=6, n_text_state=512, n_text_head=8, n_text_layer=6),
+    "small": dict(n_audio_state=768, n_audio_head=12, n_audio_layer=12, n_text_state=768, n_text_head=12, n_text_layer=12),
+    "medium": dict(n_audio_state=1024, n_audio_head=16, n_audio_layer=24, n_text_state=1024, n_text_head=16, n_text_layer=24),
+    "large-v2": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32, n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v3": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32, n_text_state=1280, n_text_head=20, n_text_layer=32, n_mels=128, n_vocab=51866),
+    # seeded micro-config for tests (no pretrained weights needed)
+    "tiny_test": dict(n_audio_state=64, n_audio_head=2, n_audio_layer=2, n_text_state=64, n_text_head=2, n_text_layer=2, n_vocab=128, n_audio_ctx=100, n_text_ctx=32, n_mels=80, sot=1, eot=2, no_timestamps=3),
+}
+
+
+def make_config(name: str = "tiny", **overrides) -> WhisperConfig:
+    kw = dict(PRESETS[name])
+    kw.update(overrides)
+    return WhisperConfig(**kw)
+
+
+# --- parameters -----------------------------------------------------------
+
+
+def _block_init(key, d, cross: bool):
+    ks = jax.random.split(key, 10)
+    p = {
+        "attn_ln": L.ln_init(d),
+        "attn": {
+            "query": L.linear_init(ks[0], d, d),
+            "key": L.linear_init(ks[1], d, d, bias=False),
+            "value": L.linear_init(ks[2], d, d),
+            "out": L.linear_init(ks[3], d, d),
+        },
+        "mlp_ln": L.ln_init(d),
+        "mlp": {"fc1": L.linear_init(ks[4], d, 4 * d), "fc2": L.linear_init(ks[5], 4 * d, d)},
+    }
+    if cross:
+        p["cross_attn_ln"] = L.ln_init(d)
+        p["cross_attn"] = {
+            "query": L.linear_init(ks[6], d, d),
+            "key": L.linear_init(ks[7], d, d, bias=False),
+            "value": L.linear_init(ks[8], d, d),
+            "out": L.linear_init(ks[9], d, d),
+        }
+    return p
+
+
+def init_params(key, cfg: WhisperConfig):
+    ks = jax.random.split(key, 6 + cfg.n_audio_layer + cfg.n_text_layer)
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+    params = {
+        "encoder": {
+            "conv1": L.conv_init(ks[0], 3, cfg.n_mels, d_a),
+            "conv2": L.conv_init(ks[1], 3, d_a, d_a),
+            "blocks": [_block_init(ks[6 + i], d_a, cross=False) for i in range(cfg.n_audio_layer)],
+            "ln_post": L.ln_init(d_a),
+        },
+        "decoder": {
+            "token_embedding": jax.random.normal(ks[2], (cfg.n_vocab, d_t), jnp.float32) * 0.02,
+            "positional_embedding": jax.random.normal(ks[3], (cfg.n_text_ctx, d_t), jnp.float32) * 0.01,
+            "blocks": [_block_init(ks[6 + cfg.n_audio_layer + i], d_t, cross=True) for i in range(cfg.n_text_layer)],
+            "ln": L.ln_init(d_t),
+        },
+    }
+    return params
+
+
+# --- forward --------------------------------------------------------------
+
+
+def encode(params, mel, cfg: WhisperConfig):
+    """mel: (B, n_mels, T_frames) -> (B, T_frames//2, D)."""
+    dt = cfg.compute_dtype
+    x = mel.swapaxes(-2, -1)  # (B, T, n_mels)
+    x = L.gelu(L.conv1d(x, params["encoder"]["conv1"], stride=1, padding=(1, 1), dtype=dt))
+    x = L.gelu(L.conv1d(x, params["encoder"]["conv2"], stride=2, padding=(1, 1), dtype=dt))
+    T = x.shape[1]
+    pos = L.sinusoid_position_embedding(cfg.n_audio_ctx, cfg.n_audio_state)
+    x = x + jnp.asarray(pos)[:T]
+    for blk in params["encoder"]["blocks"]:
+        h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_audio_head, dtype=dt)
+        x = x + h
+        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+    return L.layer_norm(x, params["encoder"]["ln_post"])
+
+
+def decode_train(params, tokens, audio_features, cfg: WhisperConfig):
+    """Teacher-forced decoder: tokens (B, U) -> logits (B, U, V)."""
+    dt = cfg.compute_dtype
+    dec = params["decoder"]
+    U = tokens.shape[1]
+    x = dec["token_embedding"][tokens] + dec["positional_embedding"][:U]
+    mask = L.causal_mask(U, U)
+    for blk in dec["blocks"]:
+        h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head, mask=mask, dtype=dt)
+        x = x + h
+        h, _ = L.mha(L.layer_norm(x, blk["cross_attn_ln"]), blk["cross_attn"], cfg.n_text_head, kv_x=audio_features, dtype=dt)
+        x = x + h
+        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+    x = L.layer_norm(x, dec["ln"])
+    logits = jnp.matmul(x.astype(dt), dec["token_embedding"].T.astype(dt), preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32)
+
+
+def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
+    """Cross-attention K/V are decode-invariant: compute once per utterance
+    instead of per token (the reference's openai-whisper does this with
+    forward hooks; here it is just a pass over blocks)."""
+    dt = cfg.compute_dtype
+    out = []
+    for blk in params["decoder"]["blocks"]:
+        k = L.split_heads(L.dense(audio_features, blk["cross_attn"]["key"], dt), cfg.n_text_head)
+        v = L.split_heads(L.dense(audio_features, blk["cross_attn"]["value"], dt), cfg.n_text_head)
+        out.append({"k": k, "v": v})
+    return out
+
+
+def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
+    """One cached decoder step. token: (B, 1). caches: list per block of
+    {k, v} self-attention caches with static max length n_text_ctx."""
+    dt = cfg.compute_dtype
+    dec = params["decoder"]
+    x = dec["token_embedding"][token] + jax.lax.dynamic_slice_in_dim(dec["positional_embedding"], pos, 1, axis=0)
+    new_caches = []
+    Tk = cfg.n_text_ctx
+    kmask = (jnp.arange(Tk)[None, None, None, :] <= pos)
+    for blk, cache, cross_kv in zip(dec["blocks"], caches, cross_kvs):
+        h, self_c = L.mha(
+            L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
+            mask=kmask, cache=cache, cache_index=pos, dtype=dt,
+        )
+        x = x + h
+        # cross-attention with precomputed K/V
+        xq = L.layer_norm(x, blk["cross_attn_ln"])
+        q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
+        y = L.attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+        x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
+        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+        new_caches.append(self_c)
+    x = L.layer_norm(x, dec["ln"])
+    logits = jnp.matmul(x.astype(dt), dec["token_embedding"].T.astype(dt), preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32)[:, 0], new_caches
+
+
+def init_cache(cfg: WhisperConfig, batch: int):
+    Dh = cfg.n_text_state // cfg.n_text_head
+
+    def empty():
+        return {
+            "k": jnp.zeros((batch, cfg.n_text_ctx, cfg.n_text_head, Dh), jnp.float32),
+            "v": jnp.zeros((batch, cfg.n_text_ctx, cfg.n_text_head, Dh), jnp.float32),
+        }
+
+    return [empty() for _ in range(cfg.n_text_layer)]
+
+
+def greedy_decode(params, mel, cfg: WhisperConfig, prompt, max_tokens: int = None, suppress_blank: bool = True):
+    """Batched greedy decode. mel: (B, n_mels, T). prompt: list/array of
+    forced initial tokens (e.g. [sot, lang, task, no_timestamps]).
+
+    Returns (tokens (B, max_tokens) int32, lengths (B,)) where tokens hold
+    generated ids after the prompt, padded with eot.
+    """
+    B = mel.shape[0]
+    max_tokens = max_tokens or (cfg.n_text_ctx - len(prompt) - 1)
+    audio_features = encode(params, mel, cfg)
+    cross_kvs = precompute_cross_kv(params, audio_features, cfg)
+    caches = init_cache(cfg, B)
+
+    # teacher-force the prompt through the cache
+    logits = None
+    for i, tok in enumerate(prompt):
+        token = jnp.full((B, 1), int(tok), jnp.int32)
+        logits, caches = _decode_step(params, token, i, caches, cross_kvs, cfg)
+
+    def step(carry, i):
+        token, caches, done = carry
+        logits, new_caches = _decode_step(params, token, len(prompt) + i, caches, cross_kvs, cfg)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(done, cfg.eot, next_tok)
+        done = done | (next_tok == cfg.eot)
+        return (next_tok[:, None], new_caches, done), next_tok
+
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done0 = first == cfg.eot
+    carry = (first[:, None], caches, done0)
+    if max_tokens > 1:
+        carry, rest = jax.lax.scan(step, carry, jnp.arange(1, max_tokens))
+        tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        tokens = first[:, None]
+    lengths = jnp.sum(tokens != cfg.eot, axis=1)
+    return tokens, lengths
+
+
+def cross_entropy_loss(logits, targets, mask):
+    """Label-smoothed-free CE for seq2seq training. targets: (B, U)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(1.0, jnp.sum(mask))

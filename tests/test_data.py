@@ -1,0 +1,155 @@
+"""Kaldi parsing + dataset pipeline tests.
+
+Coverage model: reference tests/unittests/test_data_load.py (manifest
+equality across modes, duration bounds, to_audio_batches over input kinds ×
+formats × batch sizes).
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from ssak_tpu.data import (
+    bucketed_audio_batches,
+    check_kaldi_dir,
+    kaldi_folder_to_manifest,
+    to_audio_batches,
+)
+from ssak_tpu.data.kaldi import read_keyed_file, utt2spk_to_spk2utt, write_keyed_file
+
+
+@pytest.fixture()
+def kaldi_dir(tmp_path, tmp_audio_dir):
+    """Synthetic Kaldi dir: 2 recordings, 3 segmented utts + wav-level utts."""
+    d = tmp_path / "kd"
+    d.mkdir()
+    tone = os.path.join(tmp_audio_dir, "tone16k.wav")
+    noise = os.path.join(tmp_audio_dir, "noise8k.wav")
+    (d / "wav.scp").write_text(f"rec1 {tone}\nrec2 sox {noise} -t wav -r 16k -b 16 -c 1 - |\n")
+    (d / "segments").write_text("rec1-utt1 rec1 0.0 1.0\nrec1-utt2 rec1 1.0 2.0\nrec2-utt1 rec2 0.5 2.5\n")
+    (d / "text").write_text("rec1-utt1 bonjour tout le monde\nrec1-utt2 au revoir\nrec2-utt1 il fait beau\n")
+    (d / "utt2spk").write_text("rec1-utt1 spkA\nrec1-utt2 spkA\nrec2-utt1 spkB\n")
+    (d / "spk2utt").write_text("spkA rec1-utt1 rec1-utt2\nspkB rec2-utt1\n")
+    (d / "spk2gender").write_text("spkA f\nspkB m\n")
+    return str(d)
+
+
+def test_manifest_basic(kaldi_dir):
+    meta, rows = kaldi_folder_to_manifest(kaldi_dir)
+    assert meta["samples"] == 3
+    ids = [r["id"] for r in rows]
+    assert ids == sorted(ids)
+    r = rows[0]
+    assert r["text"] == "bonjour tout le monde"
+    assert r["speaker"] == "spkA"
+    assert r["gender"] == "f"
+    assert abs(r["duration"] - 1.0) < 1e-6
+
+
+def test_manifest_filtering_and_sorting(kaldi_dir):
+    _, rows = kaldi_folder_to_manifest(kaldi_dir, max_duration=1.5)
+    assert len(rows) == 2
+    _, rows = kaldi_folder_to_manifest(kaldi_dir, sort_by_len=-1)
+    durs = [r["duration"] for r in rows]
+    assert durs == sorted(durs, reverse=True)
+
+
+def test_manifest_weights(kaldi_dir, tmp_path):
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{kaldi_dir} 2.5\n")
+    _, rows = kaldi_folder_to_manifest(str(lst))
+    # 3 utts * 2 full copies + round(0.5*3)=2 fractional
+    assert len(rows) == 8
+    assert len({r["id"] for r in rows}) == 8  # unique ids
+
+
+def test_check_kaldi_dir_fixes(kaldi_dir):
+    # remove one utt from text -> fix drops it everywhere
+    text = read_keyed_file(os.path.join(kaldi_dir, "text"))
+    del text["rec2-utt1"]
+    write_keyed_file(os.path.join(kaldi_dir, "text"), text)
+    report = check_kaldi_dir(kaldi_dir, fix=True)
+    assert report["n_utts"] == 2
+    assert "rec2-utt1" in report["removed_utts"]
+    u2s = read_keyed_file(os.path.join(kaldi_dir, "utt2spk"))
+    assert "rec2-utt1" not in u2s
+    # utt2dur was generated
+    dur = read_keyed_file(os.path.join(kaldi_dir, "utt2dur"))
+    assert abs(float(dur["rec1-utt1"]) - 1.0) < 1e-3
+    # spk2gender pruned to surviving speakers
+    s2g = read_keyed_file(os.path.join(kaldi_dir, "spk2gender"))
+    assert set(s2g) == {"spkA"}
+
+
+def test_check_kaldi_dir_missing_wavscp(tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(ValueError):
+        check_kaldi_dir(str(d))
+
+
+def test_utt2spk_spk2utt_roundtrip():
+    u2s = {"u1": "s1", "u2": "s1", "u3": "s2"}
+    s2u = utt2spk_to_spk2utt(u2s)
+    assert s2u == {"s1": "u1 u2", "s2": "u3"}
+
+
+def test_to_audio_batches_kinds(kaldi_dir, tmp_audio_dir):
+    # kaldi dir
+    batches = list(to_audio_batches(kaldi_dir, batch_size=2, output_ids=True))
+    assert len(batches) == 2
+    (b0, ids0), (b1, ids1) = batches
+    assert len(b0) == 2 and len(b1) == 1
+    assert abs(len(b0[0]) - 16000) <= 1  # 1 s segment
+    # single file
+    f = os.path.join(tmp_audio_dir, "tone16k.wav")
+    [b] = list(to_audio_batches(f, batch_size=4))
+    assert len(b) == 1 and len(b[0]) == 32000
+    # windowed spec
+    [(b, ids)] = list(to_audio_batches(f + ":0.0-0.5,1.0-1.5", batch_size=2, output_ids=True))
+    assert len(b) == 2 and all(abs(len(a) - 8000) <= 1 for a in b)
+    # ndarray
+    x = np.zeros(1600, np.float32)
+    [b] = list(to_audio_batches(x, batch_size=1))
+    assert len(b[0]) == 1600
+    # bytes format
+    [b] = list(to_audio_batches(x, batch_size=1, return_format="bytes"))
+    assert isinstance(b[0], bytes) and len(b[0]) == 3200
+
+
+def test_bucketed_batches_static_shapes(kaldi_dir):
+    _, rows = kaldi_folder_to_manifest(kaldi_dir)
+    shapes = set()
+    total = 0
+    for x, lens in bucketed_audio_batches(rows, batch_size=2, buckets=(1.0, 2.0, 4.0)):
+        shapes.add(x.shape)
+        assert x.shape[0] == 2  # always padded to batch_size
+        assert (lens <= x.shape[1]).all()
+        total += int((lens > 1).sum())
+    assert total == 3
+    # static shapes: one per bucket used
+    assert shapes <= {(2, 16000), (2, 32000), (2, 64000)}
+
+
+def test_reference_kaldi_minimal(reference_data_dir, monkeypatch):
+    monkeypatch.setenv("DATAPATH", reference_data_dir)
+    meta, rows = kaldi_folder_to_manifest(os.path.join(reference_data_dir, "kaldi", "minimal"))
+    assert meta["samples"] == 4
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["toy_bonjour"]["text"] == "bonjour"
+    assert abs(by_id["toy_bonjour"]["duration"] - 1.201625) < 1e-6
+
+
+def test_reference_kaldi_small_wav_only(reference_data_dir, monkeypatch, tmp_path):
+    """Load the reference 'small' dir (sox pipes over wav+mp3) dropping mp3
+    recordings when the native decoder is absent."""
+    monkeypatch.setenv("DATAPATH", reference_data_dir)
+    meta, rows = kaldi_folder_to_manifest(os.path.join(reference_data_dir, "kaldi", "small"))
+    assert meta["samples"] == 8
+    wav_rows = [r for r in rows if ".mp3" not in r["audio"]]
+    from ssak_tpu.audio import load_audio
+
+    a = load_audio(wav_rows[0]["audio"], start=wav_rows[0]["start"], end=wav_rows[0]["end"])
+    assert a.ndim == 1 and len(a) > 0
