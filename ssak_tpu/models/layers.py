@@ -25,11 +25,12 @@ def layer_norm(x, params, eps: float = 1e-5):
 
 
 def group_norm(x, params, num_groups: int, eps: float = 1e-5):
-    """x: (..., C). GroupNorm over channel groups."""
-    C = x.shape[-1]
-    g = x.reshape(x.shape[:-1] + (num_groups, C // num_groups))
-    mu = jnp.mean(g, axis=-1, keepdims=True)
-    var = jnp.var(g, axis=-1, keepdims=True)
+    """x: (B, T, C). GroupNorm with torch semantics: statistics are taken
+    over each channel group AND the time axis (all non-batch dims)."""
+    B, T, C = x.shape
+    g = x.reshape(B, T, num_groups, C // num_groups)
+    mu = jnp.mean(g, axis=(1, 3), keepdims=True)
+    var = jnp.var(g, axis=(1, 3), keepdims=True)
     g = (g - mu) * jax.lax.rsqrt(var + eps)
     return g.reshape(x.shape) * params["scale"] + params["bias"]
 
@@ -131,6 +132,9 @@ def causal_mask(Tq: int, Tk: int, offset: int = 0):
 def conv1d(x, params, stride: int = 1, padding="SAME", groups: int = 1, dtype=jnp.bfloat16):
     """x: (B, T, Cin); kernel: (K, Cin/groups, Cout)."""
     w = params["kernel"]
+    # NOTE: no preferred_element_type here — its conv VJP rule builds a
+    # transposed conv mixing f32 cotangents with bf16 weights (jax 0.9 bug);
+    # XLA:TPU accumulates bf16 convs in f32 internally anyway.
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         w.astype(dtype),
@@ -138,7 +142,6 @@ def conv1d(x, params, stride: int = 1, padding="SAME", groups: int = 1, dtype=jn
         padding=padding if isinstance(padding, str) else [padding],
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     ).astype(jnp.float32)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"]

@@ -1,0 +1,144 @@
+"""pjit train/eval steps for CTC (wav2vec2) and seq2seq (Whisper).
+
+One donated, jit-compiled step replaces the reference's three trainer
+stacks' inner loops (HF Trainer / sb.Brain.fit_batch / Lightning): forward
+in bfloat16, loss in float32, grads averaged over the 'data' mesh axis by
+XLA (sharding-propagated psum), optax optimizer update in the same program
+(no separate optimizer step dispatch).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssak_tpu.ops.ctc import ctc_loss
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 500,
+    total_steps: int = 100000,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+    schedule: str = "linear",
+):
+    """AdamW with warmup schedule — the reference trainers' default
+    (HF Trainer AdamW linear-warmup, NeMo adamw CosineAnnealing)."""
+    if schedule == "linear":
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                optax.linear_schedule(learning_rate, 0.0, max(1, total_steps - warmup_steps)),
+            ],
+            [warmup_steps],
+        )
+    elif schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(0.0, learning_rate, warmup_steps, total_steps)
+    elif schedule == "constant":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps), optax.constant_schedule(learning_rate)],
+            [warmup_steps],
+        )
+    else:
+        raise ValueError(schedule)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+    return tx
+
+
+def init_train_state(params, optimizer):
+    return {"params": params, "opt_state": optimizer.init(params), "step": jnp.zeros((), jnp.int32)}
+
+
+def make_ctc_train_step(cfg, optimizer, frozen_feature_encoder: bool = True):
+    """wav2vec2 CTC step. batch: {audio (B,T), audio_lengths (B,),
+    labels (B,U), label_lengths (B,)}. Returns (state, metrics).
+
+    frozen_feature_encoder mirrors reference wav2vec_train.py:318
+    freeze_feature_encoder (conv feature extractor grads zeroed).
+    """
+    from ssak_tpu.models import wav2vec2
+
+    def loss_fn(params, batch):
+        log_probs, frame_lengths = wav2vec2.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
+        loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
+        return loss
+
+    def mask_frozen(grads):
+        if not frozen_feature_encoder:
+            return grads
+        g = dict(grads)
+        g["feature_extractor"] = jax.tree_util.tree_map(jnp.zeros_like, grads["feature_extractor"])
+        return g
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
+        grads = mask_frozen(grads)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return step
+
+
+def make_ctc_eval_step(cfg):
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.ops.ctc import ctc_greedy_decode
+
+    @jax.jit
+    def step(params, batch):
+        log_probs, frame_lengths = wav2vec2.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
+        loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
+        tokens, lengths = ctc_greedy_decode(log_probs, frame_lengths, blank_id=cfg.blank_id)
+        return {"loss": loss, "tokens": tokens, "token_lengths": lengths}
+
+    return step
+
+
+def make_whisper_train_step(cfg, optimizer):
+    """Whisper seq2seq step. batch: {mel (B,n_mels,T), tokens_in (B,U),
+    tokens_out (B,U), token_mask (B,U)} (teacher forcing)."""
+    from ssak_tpu.models import whisper
+
+    def loss_fn(params, batch):
+        enc = whisper.encode(params, batch["mel"], cfg)
+        logits = whisper.decode_train(params, batch["tokens_in"], enc, cfg)
+        return whisper.cross_entropy_loss(logits, batch["tokens_out"], batch["token_mask"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return step
+
+
+def shard_train_step(step_fn, mesh, state_shardings=None):
+    """Wrap a jitted step with explicit input shardings: batch arrays are
+    sharded on the 'data' axis (leading dim), state per state_shardings
+    (replicated when None)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def place_batch(batch):
+        return {k: jax.device_put(v, data_shard) for k, v in batch.items()}
+
+    def wrapped(state, batch):
+        return step_fn(state, place_batch(batch))
+
+    return wrapped
