@@ -1,0 +1,124 @@
+"""wav2vec2-CTC inference over files/Kaldi folders, with long-audio chunking.
+
+Counterpart of reference ssak/infer/transformers_infer.py
+(transformers_infer:14, chunking :259-265 at max_duration=2240400 samples,
+cli:316). TPU-first specifics: inputs are padded to bucket lengths so each
+(bucket, batch) shape compiles once; chunked long audio runs through the
+same bucketed program; decoding is on-device greedy (beam+LM in
+ssak_tpu.decode).
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MAX_CHUNK_SAMPLES = 2_240_400  # ~140 s, reference parity
+CHUNK_OVERLAP = 0
+
+_BUCKETS_SAMPLES = (16000, 32000, 64000, 160000, 320000, 480000, MAX_CHUNK_SAMPLES)
+
+
+def _bucket_len(n: int) -> int:
+    for b in _BUCKETS_SAMPLES:
+        if n <= b:
+            return b
+    return MAX_CHUNK_SAMPLES
+
+
+def ctc_compute_logits_chunked(model, audio: np.ndarray):
+    """Log-probs for one (possibly long) utterance: chunks of
+    MAX_CHUNK_SAMPLES, logits concatenated (reference :259-265 semantics)."""
+    from ssak_tpu.infer.general import compute_log_probas
+
+    chunks = [audio[i : i + MAX_CHUNK_SAMPLES] for i in range(0, max(1, len(audio)), MAX_CHUNK_SAMPLES)]
+    outs = []
+    for ch in chunks:
+        pad_to = _bucket_len(len(ch))
+        x = np.zeros((1, pad_to), np.float32)
+        x[0, : len(ch)] = ch
+        lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray([len(ch)], np.int32))
+        outs.append(np.asarray(lp[0, : int(fl[0])]))
+    return np.concatenate(outs, axis=0)
+
+
+def ctc_transcribe_batch(model, batch):
+    """batch: list of 1-D float32 arrays -> list of transcripts."""
+    from ssak_tpu.infer.general import compute_log_probas, decode_log_probas
+
+    lens = [len(a) for a in batch]
+    if max(lens) > MAX_CHUNK_SAMPLES:
+        texts = []
+        for a in batch:
+            lp = ctc_compute_logits_chunked(model, a)
+            texts.extend(decode_log_probas(model, jnp.asarray(lp[None]), jnp.asarray([lp.shape[0]])))
+        return texts
+    pad_to = _bucket_len(max(lens))
+    x = np.zeros((len(batch), pad_to), np.float32)
+    for i, a in enumerate(batch):
+        x[i, : len(a)] = a
+    lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens, np.int32))
+    return decode_log_probas(model, lp, fl)
+
+
+def ctc_infer(
+    model_dir,
+    audios,
+    batch_size: int = 8,
+    sort_by_len: bool = False,
+    output_ids: bool = False,
+    log_memtime: bool = False,
+    seeded_test_config: str = None,
+):
+    """Generator over transcripts (optionally (id, text)) for any audio
+    source accepted by to_audio_batches."""
+    from ssak_tpu.data.dataset import to_audio_batches
+    from ssak_tpu.infer.general import load_model
+    from ssak_tpu.utils.monitoring import ThroughputMeter, logger
+
+    model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    meter = ThroughputMeter()
+    batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
+    for batch, ids in batches:
+        texts = ctc_transcribe_batch(model, batch)
+        meter.update(sum(len(a) for a in batch) / model.sample_rate)
+        for i, t in zip(ids, texts):
+            yield (i, t) if output_ids else t
+    if log_memtime:
+        logger.info(f"ctc_infer throughput: {meter.summary()}")
+
+
+def cli(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Transcribe audio with a wav2vec2-CTC model (TPU)")
+    parser.add_argument("data", help="audio file, Kaldi dir, or list file")
+    parser.add_argument("model", help="checkpoint directory (HF format)")
+    parser.add_argument("--output", default=None, help="output file (default stdout)")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--sort_by_len", action="store_true")
+    parser.add_argument("--use_ids", action="store_true", default=True)
+    parser.add_argument("--no-use_ids", dest="use_ids", action="store_false")
+    parser.add_argument("--log_memtime", action="store_true")
+    args = parser.parse_args(argv)
+
+    out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
+    try:
+        for item in ctc_infer(
+            args.model, args.data, batch_size=args.batch_size, sort_by_len=args.sort_by_len,
+            output_ids=args.use_ids, log_memtime=args.log_memtime,
+        ):
+            if args.use_ids:
+                out.write(f"{item[0]} {item[1]}\n")
+            else:
+                out.write(f"{item}\n")
+            out.flush()
+    finally:
+        if args.output:
+            out.close()
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,125 @@
+"""Backend-agnostic inference facade.
+
+Counterpart of reference ssak/infer/general.py (load_model:32, infer:60,
+compute_logits:76, decode_log_probas:103, get_model_vocab:123): one API over
+the two model families (wav2vec2-CTC, Whisper seq2seq) with auto-detection
+from a checkpoint directory's config.json.
+"""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class ModelType:
+    WAV2VEC2_CTC = "wav2vec2_ctc"
+    WHISPER = "whisper"
+
+
+class LoadedModel:
+    """Bundle of (params, config, tokenizer, type)."""
+
+    def __init__(self, model_type, params, cfg, tokenizer):
+        self.type = model_type
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+
+    @property
+    def sample_rate(self):
+        return 16000
+
+    def vocab(self):
+        if self.type == ModelType.WAV2VEC2_CTC:
+            return [self.tokenizer.id2tok.get(i, "") for i in range(len(self.tokenizer))]
+        raise ValueError("vocab() only defined for CTC models")
+
+
+def get_model_type(model_dir: str) -> str:
+    with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
+        cfg = json.load(f)
+    archs = cfg.get("architectures") or []
+    mt = (cfg.get("model_type") or "").lower()
+    if any("whisper" in a.lower() for a in archs) or mt == "whisper":
+        return ModelType.WHISPER
+    if any("wav2vec2" in a.lower() for a in archs) or mt == "wav2vec2":
+        return ModelType.WAV2VEC2_CTC
+    raise ValueError(f"cannot determine model type of {model_dir}")
+
+
+def load_model(model_dir: str, seeded_test_config: str = None) -> LoadedModel:
+    """Load from an HF-format checkpoint dir. seeded_test_config builds a
+    random tiny model instead (offline tests): 'whisper' or 'wav2vec2'."""
+    if seeded_test_config:
+        return _seeded_model(seeded_test_config)
+    mtype = get_model_type(model_dir)
+    if mtype == ModelType.WHISPER:
+        from ssak_tpu.models.hf_loader import load_whisper
+        from ssak_tpu.models.tokenizer import WhisperTokenizer
+
+        params, cfg = load_whisper(model_dir)
+        tok = WhisperTokenizer(model_dir)
+        return LoadedModel(mtype, params, cfg, tok)
+    from ssak_tpu.models.hf_loader import load_wav2vec2
+    from ssak_tpu.models.tokenizer import CTCTokenizer
+
+    params, cfg = load_wav2vec2(model_dir)
+    tok = CTCTokenizer(model_dir)
+    return LoadedModel(mtype, params, cfg, tok)
+
+
+def _seeded_model(kind: str) -> LoadedModel:
+    if kind.startswith("whisper"):
+        from ssak_tpu.models import whisper
+
+        cfg = whisper.make_config("tiny_test")
+        params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+        return LoadedModel(ModelType.WHISPER, params, cfg, None)
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.models.tokenizer import CTCTokenizer
+
+    cfg = wav2vec2.make_config("tiny_test")
+    params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz'-éèàùâêîôûç"[: cfg.vocab_size - 5]):
+        vocab[c] = 5 + i
+    return LoadedModel(ModelType.WAV2VEC2_CTC, params, cfg, CTCTokenizer(vocab))
+
+
+def compute_log_probas(model: LoadedModel, audio, lengths=None):
+    """CTC log-probs for a batch (B, T) -> ((B, F, V), frame_lengths)."""
+    from ssak_tpu.models import wav2vec2
+
+    assert model.type == ModelType.WAV2VEC2_CTC
+    if lengths is None:
+        lengths = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
+    return wav2vec2.ctc_log_probs(model.params, audio, model.cfg, lengths)
+
+
+def decode_log_probas(model: LoadedModel, log_probs, frame_lengths):
+    """Greedy decode CTC log-probs to texts."""
+    from ssak_tpu.ops.ctc import ctc_greedy_decode
+
+    tokens, lengths = ctc_greedy_decode(log_probs, frame_lengths, blank_id=model.cfg.blank_id)
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    return [model.tokenizer.decode(tokens[b, : lengths[b]]) for b in range(tokens.shape[0])]
+
+
+def infer(model: LoadedModel, audio_batches, language: str = None, **kwargs):
+    """Generator of transcripts over batches of audio arrays (the
+    reference's per-backend X_infer() generators unified)."""
+    if model.type == ModelType.WAV2VEC2_CTC:
+        from ssak_tpu.infer.ctc_infer import ctc_transcribe_batch
+
+        for batch in audio_batches:
+            yield from ctc_transcribe_batch(model, batch)
+    else:
+        from ssak_tpu.infer.whisper_infer import whisper_transcribe_batch
+
+        for batch in audio_batches:
+            yield from whisper_transcribe_batch(model, batch, language=language, **kwargs)

@@ -1,0 +1,120 @@
+"""Whisper inference: batched greedy decode with 30 s windowing.
+
+Counterpart of reference ssak/infer/whisper_infer.py (whisper_infer:13,
+model.transcribe 30 s sliding windows :79) and whisper_infer_v2.py (batched
+HF generate). TPU-first: each 30 s window is a fixed (B, n_mels, 3000) mel
+batch through ONE compiled greedy-decode program (lax.scan KV-cache);
+long audio iterates windows with the transcript concatenated.
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssak_tpu.ops.logmel import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+
+_DECODE_CACHE = {}
+
+
+def _jitted_greedy(cfg, prompt, max_tokens):
+    """One compiled program per (config, prompt, budget) — reused across
+    batches and windows."""
+    from ssak_tpu.models import whisper
+
+    key = (cfg, tuple(prompt), max_tokens)
+    if key not in _DECODE_CACHE:
+        _DECODE_CACHE[key] = jax.jit(
+            lambda p, mel: whisper.greedy_decode(p, mel, cfg, list(key[1]), max_tokens=max_tokens)
+        )
+    return _DECODE_CACHE[key]
+
+
+def whisper_transcribe_batch(model, batch, language: str = None, task: str = "transcribe", max_tokens: int = 224):
+    """batch: list of 1-D float32 arrays at 16 kHz -> list of transcripts.
+    Utterances longer than 30 s are windowed and window texts joined."""
+    from ssak_tpu.models import whisper
+
+    cfg = model.cfg
+    tok = model.tokenizer
+    if tok is not None:
+        prompt = tok.sot_sequence(language=language, task=task)
+        eot = tok.eot
+    else:  # seeded test model
+        prompt = [cfg.sot, cfg.no_timestamps]
+        eot = cfg.eot
+
+    # window length follows the encoder context (30 s for real Whisper)
+    window_samples = cfg.n_audio_ctx * 2 * 160
+    max_tokens = min(max_tokens, cfg.n_text_ctx - len(prompt) - 1)
+
+    # split long utterances into windows, remember origin
+    windows, origins = [], []
+    for bi, a in enumerate(batch):
+        n = max(1, len(a))
+        for s in range(0, n, window_samples):
+            windows.append(a[s : s + window_samples])
+            origins.append(bi)
+
+    texts = [""] * len(batch)
+    for w0 in range(0, len(windows), max(1, len(batch))):
+        group = windows[w0 : w0 + max(1, len(batch))]
+        x = np.stack([np.asarray(pad_or_trim(jnp.asarray(w), window_samples)) for w in group])
+        mel = log_mel_spectrogram(jnp.asarray(x), n_mels=cfg.n_mels)
+        tokens, lengths = _jitted_greedy(cfg, prompt, max_tokens)(model.params, mel)
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        for gi in range(len(group)):
+            ids = [int(t) for t in tokens[gi, : lengths[gi]] if int(t) != eot]
+            piece = model.tokenizer.decode(ids) if model.tokenizer else " ".join(map(str, ids))
+            bi = origins[w0 + gi]
+            texts[bi] = (texts[bi] + " " + piece).strip() if piece else texts[bi]
+    return texts
+
+
+def whisper_infer(
+    model_dir,
+    audios,
+    batch_size: int = 4,
+    language: str = None,
+    output_ids: bool = False,
+    seeded_test_config: str = None,
+):
+    from ssak_tpu.data.dataset import to_audio_batches
+    from ssak_tpu.infer.general import load_model
+
+    model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True)
+    for batch, ids in batches:
+        texts = whisper_transcribe_batch(model, batch, language=language)
+        for i, t in zip(ids, texts):
+            yield (i, t) if output_ids else t
+
+
+def cli(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Transcribe audio with Whisper (TPU)")
+    parser.add_argument("data")
+    parser.add_argument("model", help="HF Whisper checkpoint directory")
+    parser.add_argument("--language", default=None)
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--use_ids", action="store_true", default=True)
+    parser.add_argument("--no-use_ids", dest="use_ids", action="store_false")
+    args = parser.parse_args(argv)
+
+    out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
+    try:
+        for item in whisper_infer(args.model, args.data, batch_size=args.batch_size, language=args.language, output_ids=args.use_ids):
+            out.write(f"{item[0]} {item[1]}\n" if args.use_ids else f"{item}\n")
+            out.flush()
+    finally:
+        if args.output:
+            out.close()
+
+
+if __name__ == "__main__":
+    cli()
