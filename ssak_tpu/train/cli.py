@@ -1,0 +1,127 @@
+"""`sak-train`: wav2vec2-CTC fine-tuning CLI.
+
+Counterpart of reference ssak/train/transformers/wav2vec_train.py main
+(:127): Kaldi dirs / weighted list files in, run dir named from an hparams
+hash (reproducible, reference args_to_str:210-236), README + source
+snapshot provenance, resume from last checkpoint.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Fine-tune a wav2vec2-CTC model on Kaldi data (TPU)")
+    p.add_argument("train", help="Kaldi dir or weighted list file")
+    p.add_argument("valid", help="Kaldi dir or list file")
+    p.add_argument("--base_model", default=None, help="HF checkpoint dir (omit for random tiny model)")
+    p.add_argument("--output_dir", default="runs")
+    p.add_argument("--language", default="fr")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warmup_steps", type=int, default=500)
+    p.add_argument("--max_steps", type=int, default=10000)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--eval_steps", type=int, default=500)
+    p.add_argument("--save_total_limit", type=int, default=2)
+    p.add_argument("--early_stopping", type=int, default=15)
+    p.add_argument("--min_duration", type=float, default=0.1)
+    p.add_argument("--max_duration", type=float, default=15.0)
+    p.add_argument("--seed", type=int, default=69)
+    p.add_argument("--data_augment", action="store_true")
+    p.add_argument("--data_augment_noise", default=None)
+    p.add_argument("--data_augment_rir", default=None)
+    p.add_argument("--no_freeze_feature_encoder", dest="freeze", action="store_false", default=True)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--no-resume", dest="resume", action="store_false")
+    return p
+
+
+def args_to_run_name(args) -> str:
+    from ssak_tpu.utils.misc import hashmd5
+
+    key = {k: v for k, v in sorted(vars(args).items()) if k not in ("output_dir", "resume")}
+    readable = f"ctc_b{args.batch_size}_lr{args.learning_rate}_s{args.seed}"
+    return f"{readable}_{hashmd5(key)[:8]}"
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ssak_tpu.data.dataset import kaldi_folder_to_manifest
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.models.tokenizer import CTCTokenizer
+    from ssak_tpu.text import format_text
+    from ssak_tpu.train.loop import CTCTrainer
+    from ssak_tpu.utils.misc import save_source_dir
+    from ssak_tpu.utils.monitoring import logger
+
+    run_dir = os.path.join(args.output_dir, args_to_run_name(args))
+    os.makedirs(run_dir, exist_ok=True)
+
+    def norm(t):
+        try:
+            return format_text(t, args.language, extract_parenthesized=False, safety_checks=False).replace("\n", " ")
+        except Exception:
+            return t.lower()
+
+    meta_tr, train_rows = kaldi_folder_to_manifest(
+        args.train, min_duration=args.min_duration, max_duration=args.max_duration, seed=args.seed
+    )
+    meta_va, valid_rows = kaldi_folder_to_manifest(args.valid, max_duration=args.max_duration, seed=args.seed)
+    logger.info(f"train: {meta_tr} valid: {meta_va}")
+
+    # model + tokenizer
+    if args.base_model:
+        from ssak_tpu.models.hf_loader import load_wav2vec2
+
+        params, cfg = load_wav2vec2(args.base_model)
+        tok_path = os.path.join(args.base_model, "vocab.json")
+        tokenizer = CTCTokenizer(tok_path)
+        if "lm_head" not in params:
+            lm = wav2vec2.init_params(jax.random.PRNGKey(args.seed), cfg)["lm_head"]
+            params["lm_head"] = lm
+    else:
+        texts = [norm(r["text"] or "") for r in train_rows]
+        tokenizer = CTCTokenizer.from_corpus(texts)
+        cfg = wav2vec2.make_config("tiny_test", vocab_size=max(32, len(tokenizer)))
+        params = wav2vec2.init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    augmenter = None
+    if args.data_augment:
+        from ssak_tpu.augment import SpeechAugment
+
+        augmenter = SpeechAugment(
+            noise_dir=args.data_augment_noise, rir_dir=args.data_augment_rir, seed=args.seed
+        )
+
+    # provenance (reference wav2vec_train.py:247-254 README + source snapshot)
+    with open(os.path.join(run_dir, "README.txt"), "w") as f:
+        f.write(" ".join(sys.argv) + "\n\n")
+        f.write(json.dumps({"train": meta_tr, "valid": meta_va, "vocab_size": len(tokenizer)}, indent=1))
+    save_source_dir(run_dir)
+    tokenizer.save(os.path.join(run_dir, "vocab.json"))
+
+    trainer = CTCTrainer(
+        cfg, params, tokenizer, run_dir,
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, total_steps=args.max_steps,
+        batch_size=args.batch_size, eval_steps=args.eval_steps,
+        save_total_limit=args.save_total_limit, early_stopping_patience=args.early_stopping,
+        freeze_feature_encoder=args.freeze, augmenter=augmenter, seed=args.seed,
+        normalize_text=norm,
+    )
+    if args.resume:
+        trainer.resume()
+    trainer.train(train_rows, valid_rows, max_epochs=args.max_epochs, max_steps=args.max_steps)
+    print(json.dumps({"run_dir": run_dir, "best_wer": trainer.best_wer, "best_step": trainer.best_step}))
+
+
+if __name__ == "__main__":
+    main()
