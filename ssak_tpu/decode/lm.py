@@ -1,0 +1,177 @@
+"""N-gram language models for shallow fusion.
+
+Replaces the reference's KenLM+pyctcdecode dependency
+(transformers_infer.py:272-289, speechbrain_infer.py:253-276) with our own
+stack: an ARPA-format reader (the standard interchange format KenLM
+binaries are built from), a backoff scorer with KenLM state semantics
+(<s> context, backoff on miss), and a dense char-level LM exporter that
+turns a small-vocab LM into a device-resident lookup table for the
+on-device beam search (ssak_tpu.decode.ctc_beam).
+"""
+
+import gzip
+import math
+from collections import defaultdict
+
+LOG10 = math.log(10.0)
+
+
+class ArpaLM:
+    """Backoff n-gram LM from an ARPA file. Scores are log10 (KenLM
+    convention); query via score(word, context_tuple)."""
+
+    def __init__(self, path=None):
+        self.order = 0
+        # ngram tuple -> (logprob, backoff)
+        self.table = {}
+        self.vocab = set()
+        if path:
+            self.load(path)
+
+    def load(self, path):
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            section = None
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\data\\"):
+                    section = "data"
+                    continue
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    section = int(line[1:].split("-")[0])
+                    self.order = max(self.order, section)
+                    continue
+                if line.startswith("\\end\\"):
+                    break
+                if section == "data":
+                    continue
+                if isinstance(section, int):
+                    parts = line.split("\t")
+                    if len(parts) < 2:
+                        parts = line.split()
+                        if len(parts) < section + 1:
+                            continue
+                        logp = float(parts[0])
+                        words = tuple(parts[1 : 1 + section])
+                        backoff = float(parts[1 + section]) if len(parts) > 1 + section else 0.0
+                    else:
+                        logp = float(parts[0])
+                        words = tuple(parts[1].split())
+                        backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                    self.table[words] = (logp, backoff)
+                    if section == 1:
+                        self.vocab.add(words[0])
+        return self
+
+    def score(self, word, context=()):
+        """log10 P(word | context) with backoff. context: tuple of
+        preceding words, most recent last."""
+        context = tuple(context)[-(self.order - 1):] if self.order > 1 else ()
+        return self._score(word, context)
+
+    def _score(self, word, context):
+        ngram = context + (word,)
+        if ngram in self.table:
+            return self.table[ngram][0]
+        if not context:
+            if (word,) in self.table:
+                return self.table[(word,)][0]
+            unk = self.table.get(("<unk>",))
+            return unk[0] if unk else -10.0
+        backoff = self.table.get(context, (0.0, 0.0))[1]
+        return backoff + self._score(word, context[1:])
+
+    def sentence_logprob(self, words, bos=True, eos=True):
+        context = ("<s>",) if bos else ()
+        total = 0.0
+        for w in words:
+            total += self.score(w, context)
+            context = (context + (w,))[-(self.order - 1):] if self.order > 1 else ()
+        if eos:
+            total += self.score("</s>", context)
+        return total
+
+
+def char_lm_table(lm: ArpaLM, vocab: list, order: int = None):
+    """Export a char-level ARPA LM as a dense numpy table for on-device
+    fusion: table[c1, ..., c_{k-1}, c_k] = log10 P(c_k | history).
+
+    Only feasible for char LMs with small vocab (V^order floats); returns
+    (table, order). For V=40, order=3: 64k entries — trivially
+    device-resident, turning per-step LM lookups into a gather (no host
+    callback, unlike the reference's CPU pyctcdecode path)."""
+    import numpy as np
+
+    order = order or min(lm.order, 3)
+    V = len(vocab)
+    shape = (V,) * order
+    table = np.zeros(shape, dtype=np.float32)
+    idx = {c: i for i, c in enumerate(vocab)}
+
+    def fill(context):
+        for w in vocab:
+            table[tuple(idx[c] for c in context) + (idx[w],)] = lm.score(w, context)
+
+    def rec(context, depth):
+        if depth == order - 1:
+            fill(context)
+            return
+        for c in vocab:
+            rec(context + (c,), depth + 1)
+
+    rec((), 0)
+    return table, order
+
+
+def train_ngram_lm(texts, order: int = 3, output_arpa: str = None, char_level: bool = False):
+    """Train a simple interpolated Katz-style n-gram LM from corpus text and
+    optionally write ARPA. Provides the 'build an LM for decoding'
+    capability without KenLM's lmplz."""
+    counts = [defaultdict(int) for _ in range(order + 1)]
+    for text in texts:
+        units = list(text.replace(" ", "|")) if char_level else text.split()
+        units = ["<s>"] + units + ["</s>"]
+        for n in range(1, order + 1):
+            for i in range(len(units) - n + 1):
+                counts[n][tuple(units[i : i + n])] += 1
+    lm = ArpaLM()
+    lm.order = order
+    vocab = sorted({w for (w,) in counts[1]})
+    V = len(vocab) + 1
+    # add-k smoothed conditional probabilities with fixed backoff weights
+    for n in range(1, order + 1):
+        for ngram, c in counts[n].items():
+            if n == 1:
+                total = sum(counts[1].values())
+                logp = math.log10((c + 0.5) / (total + 0.5 * V))
+            else:
+                parent = counts[n - 1].get(ngram[:-1], 0)
+                if parent == 0:
+                    continue
+                logp = math.log10((c + 0.5) / (parent + 0.5 * V))
+            backoff = -0.3 if n < order else 0.0
+            lm.table[ngram] = (logp, backoff)
+    lm.vocab = set(vocab)
+    if output_arpa:
+        write_arpa(lm, output_arpa)
+    return lm
+
+
+def write_arpa(lm: ArpaLM, path: str):
+    by_order = defaultdict(list)
+    for ngram, (logp, backoff) in lm.table.items():
+        by_order[len(ngram)].append((ngram, logp, backoff))
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for n in range(1, lm.order + 1):
+            f.write(f"ngram {n}={len(by_order[n])}\n")
+        for n in range(1, lm.order + 1):
+            f.write(f"\n\\{n}-grams:\n")
+            for ngram, logp, backoff in sorted(by_order[n]):
+                line = f"{logp:.6f}\t{' '.join(ngram)}"
+                if n < lm.order and backoff:
+                    line += f"\t{backoff:.6f}"
+                f.write(line + "\n")
+        f.write("\n\\end\\\n")
