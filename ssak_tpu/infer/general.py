@@ -90,14 +90,22 @@ def _seeded_model(kind: str) -> LoadedModel:
     return LoadedModel(ModelType.WAV2VEC2_CTC, params, cfg, CTCTokenizer(vocab))
 
 
+_LOGPROB_CACHE = {}
+
+
 def compute_log_probas(model: LoadedModel, audio, lengths=None):
-    """CTC log-probs for a batch (B, T) -> ((B, F, V), frame_lengths)."""
+    """CTC log-probs for a batch (B, T) -> ((B, F, V), frame_lengths).
+    One compiled program per (config, batch shape), reused across calls."""
     from ssak_tpu.models import wav2vec2
 
     assert model.type == ModelType.WAV2VEC2_CTC
     if lengths is None:
         lengths = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
-    return wav2vec2.ctc_log_probs(model.params, audio, model.cfg, lengths)
+    key = (model.cfg, audio.shape)
+    if key not in _LOGPROB_CACHE:
+        cfg = model.cfg
+        _LOGPROB_CACHE[key] = jax.jit(lambda p, a, l: wav2vec2.ctc_log_probs(p, a, cfg, l))
+    return _LOGPROB_CACHE[key](model.params, audio, lengths)
 
 
 def decode_log_probas(model: LoadedModel, log_probs, frame_lengths):
