@@ -1,0 +1,21 @@
+from ssak_tpu.formats.diarization import import_rttm, json2rttm, to_diarization
+from ssak_tpu.formats.transcription import (
+    SpeechSegment,
+    TranscriptionResult,
+    Word,
+    remove_hallucinations,
+    shorten_transcription,
+    to_transcription,
+)
+
+__all__ = [
+    "to_transcription",
+    "TranscriptionResult",
+    "SpeechSegment",
+    "Word",
+    "remove_hallucinations",
+    "shorten_transcription",
+    "import_rttm",
+    "to_diarization",
+    "json2rttm",
+]
