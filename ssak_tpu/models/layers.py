@@ -36,11 +36,20 @@ def group_norm(x, params, num_groups: int, eps: float = 1e-5):
 
 
 def dense(x, params, dtype=None):
+    """Linear layer; transparently applies a LoRA adapter when the param
+    dict carries lora_A/lora_B (y += scale * (x @ A) @ B) — the PEFT-path
+    capability of reference whisper_train.py:374-407 without a separate
+    module system."""
     w = params["kernel"]
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
     y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(jnp.float32)
+    if "lora_A" in params:
+        a = params["lora_A"].astype(x.dtype)
+        b = params["lora_B"].astype(x.dtype)
+        scale = params.get("lora_scale", 1.0)
+        y = y + scale * jnp.matmul(jnp.matmul(x, a, preferred_element_type=jnp.float32), b, preferred_element_type=jnp.float32).astype(jnp.float32)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"]
     return y

@@ -104,9 +104,11 @@ def make_ctc_eval_step(cfg):
     return step
 
 
-def make_whisper_train_step(cfg, optimizer):
+def make_whisper_train_step(cfg, optimizer, grad_mask=None):
     """Whisper seq2seq step. batch: {mel (B,n_mels,T), tokens_in (B,U),
-    tokens_out (B,U), token_mask (B,U)} (teacher forcing)."""
+    tokens_out (B,U), token_mask (B,U)} (teacher forcing).
+    grad_mask: optional fn(grads)->grads (e.g. lora_grad_mask for
+    adapter-only fine-tuning, the reference's PEFT path)."""
     from ssak_tpu.models import whisper
 
     def loss_fn(params, batch):
@@ -117,6 +119,8 @@ def make_whisper_train_step(cfg, optimizer):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
+        if grad_mask is not None:
+            grads = grad_mask(grads)
         gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)

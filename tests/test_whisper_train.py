@@ -1,0 +1,123 @@
+"""Whisper fine-tuning + LoRA tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssak_tpu.models import whisper
+from ssak_tpu.models.lora import add_lora, extract_lora, load_lora, lora_grad_mask, merge_lora
+
+
+class TestLoRA:
+    def test_add_and_forward_identity(self):
+        """Fresh adapters (B=0) must not change the forward pass."""
+        cfg = whisper.make_config("tiny_test")
+        params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+        lparams = add_lora(params, rank=4)
+        mel = jnp.asarray(np.random.RandomState(0).randn(1, cfg.n_mels, 200).astype(np.float32) * 0.1)
+        e1 = whisper.encode(params, mel, cfg)
+        e2 = whisper.encode(lparams, mel, cfg)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+    def test_grad_mask_only_lora(self):
+        cfg = whisper.make_config("tiny_test")
+        params = add_lora(whisper.init_params(jax.random.PRNGKey(0), cfg), rank=4)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        masked = lora_grad_mask(grads)
+        leaves = []
+
+        def walk(node, path=""):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, f"{path}/{k}")
+            elif isinstance(node, (list, tuple)):
+                for i, v in enumerate(node):
+                    walk(v, f"{path}/{i}")
+            else:
+                leaves.append((path, float(np.asarray(node).sum())))
+
+        walk(masked)
+        for path, s in leaves:
+            name = path.rsplit("/", 1)[-1]
+            if name in ("lora_A", "lora_B"):
+                assert s != 0.0, path
+            elif name != "lora_scale":
+                assert s == 0.0, path
+
+    def test_merge_extract_roundtrip(self):
+        cfg = whisper.make_config("tiny_test")
+        params = add_lora(whisper.init_params(jax.random.PRNGKey(0), cfg), rank=4)
+        # give B nonzero values so merge changes kernels
+        params["decoder"]["blocks"][0]["attn"]["query"]["lora_B"] = jnp.ones_like(
+            params["decoder"]["blocks"][0]["attn"]["query"]["lora_B"]
+        )
+        adapters = extract_lora(params)
+        assert any(k.endswith("lora_B") for k in adapters)
+        merged = merge_lora(params)
+        q = merged["decoder"]["blocks"][0]["attn"]["query"]
+        assert "lora_A" not in q
+        # merged forward == adapter forward
+        mel = jnp.asarray(np.random.RandomState(1).randn(1, cfg.n_mels, 200).astype(np.float32) * 0.1)
+        enc_l = whisper.encode(params, mel, cfg)
+        enc_m = whisper.encode(merged, mel, cfg)
+        np.testing.assert_allclose(np.asarray(enc_l), np.asarray(enc_m), atol=1e-4)
+        # reload adapters into a fresh tree
+        fresh = add_lora(whisper.init_params(jax.random.PRNGKey(0), cfg), rank=4)
+        fresh = load_lora(fresh, adapters)
+        np.testing.assert_allclose(
+            np.asarray(fresh["decoder"]["blocks"][0]["attn"]["query"]["lora_B"]), 1.0
+        )
+
+
+class TestWhisperTraining:
+    def test_loss_decreases(self):
+        from ssak_tpu.train.steps import init_train_state, make_optimizer, make_whisper_train_step
+
+        cfg = whisper.make_config("tiny_test")
+        params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(learning_rate=3e-3, warmup_steps=3, total_steps=40, schedule="constant")
+        state = init_train_state(params, opt)
+        step = make_whisper_train_step(cfg, opt)
+        rng = np.random.RandomState(0)
+        batch = {
+            "mel": jnp.asarray(rng.randn(2, cfg.n_mels, 200).astype(np.float32) * 0.1),
+            "tokens_in": jnp.asarray([[1, 3, 10, 11], [1, 3, 12, 13]], np.int32),
+            "tokens_out": jnp.asarray([[3, 10, 11, 2], [3, 12, 13, 2]], np.int32),
+            "token_mask": jnp.ones((2, 4), np.float32),
+        }
+        first = None
+        for _ in range(30):
+            state, m = step(state, batch)
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first * 0.5
+
+    def test_cli_end_to_end(self, reference_data_dir, tmp_path):
+        env = dict(os.environ)
+        env["DATAPATH"] = reference_data_dir
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "ssak_tpu.train.whisper_loop",
+                os.path.join(reference_data_dir, "kaldi", "minimal"),
+                os.path.join(reference_data_dir, "kaldi", "minimal"),
+                "--output_dir", str(tmp_path / "wrun"),
+                "--batch_size", "2", "--max_steps", "4", "--eval_steps", "4",
+                "--lora", "4", "--max_duration", "11",
+            ],
+            env=env, cwd="/root/repo", capture_output=True, text=True, timeout=900,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert os.path.exists(tmp_path / "wrun" / "trainer_state.json")
+        assert os.path.exists(tmp_path / "wrun" / "adapters.npz")
+        with open(tmp_path / "wrun" / "trainer_state.json") as f:
+            ts = json.load(f)
+        assert ts["global_step"] == 4
+        assert any("eval_wer" in e for e in ts["log_history"])
