@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ssak_tpu.ops.ctc import ctc_loss
+from ssak_tpu.ops.ctc_pallas import ctc_loss_fast as ctc_loss
 
 
 def make_optimizer(

@@ -1,0 +1,46 @@
+"""Pallas CTC kernel numerics: interpret mode vs the scan reference (exact)
+— the TPU-compiled path is exercised by bench.py on hardware."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssak_tpu.ops.ctc import ctc_loss
+from ssak_tpu.ops.ctc_pallas import _fwd_impl
+
+
+def _case(seed, B=3, T=24, V=7, U=6):
+    rng = np.random.RandomState(seed)
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, V).astype(np.float32)), -1)
+    labels = jnp.asarray(rng.randint(1, V, (B, U)), jnp.int32)
+    lab_len = jnp.asarray(rng.randint(1, U + 1, (B,)), jnp.int32)
+    ll = jnp.asarray(rng.randint(U + 4, T + 1, (B,)), jnp.int32)
+    return lp, ll, labels, lab_len
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_interpret_matches_scan(seed):
+    lp, ll, labels, lab_len = _case(seed)
+    loss, grad = _fwd_impl(lp, ll, labels, lab_len, 0, True, interpret=True)
+    ref = ctc_loss(lp, ll, labels, lab_len, reduction="none")
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref), atol=1e-4)
+    g_ref = jax.grad(lambda x: ctc_loss(x, ll, labels, lab_len, reduction="sum"))(lp)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref), atol=1e-4)
+
+
+def test_infeasible_zeroed():
+    lp = jax.nn.log_softmax(jnp.zeros((1, 3, 5)), -1)
+    loss, grad = _fwd_impl(lp, jnp.asarray([3]), jnp.asarray([[1, 2, 3, 4]]), jnp.asarray([4]), 0, True, interpret=True)
+    assert float(loss[0]) == 0.0
+    assert float(jnp.abs(grad).sum()) == 0.0
+
+
+def test_fast_dispatch_cpu_falls_back():
+    from ssak_tpu.ops.ctc_pallas import ctc_loss_fast
+
+    lp, ll, labels, lab_len = _case(3)
+    a = float(ctc_loss_fast(lp, ll, labels, lab_len, reduction="sum"))
+    b = float(ctc_loss(lp, ll, labels, lab_len, reduction="sum"))
+    assert abs(a - b) < 1e-4
