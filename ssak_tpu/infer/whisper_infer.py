@@ -32,9 +32,93 @@ def _jitted_greedy(cfg, prompt, max_tokens):
     return _DECODE_CACHE[key]
 
 
-def whisper_transcribe_batch(model, batch, language: str = None, task: str = "transcribe", max_tokens: int = 224):
+def compression_ratio(text: str) -> float:
+    import zlib
+
+    data = text.encode("utf-8")
+    return len(data) / max(1, len(zlib.compress(data)))
+
+
+def _jitted_sample(cfg, prompt, max_tokens, temperature):
+    from ssak_tpu.models import whisper
+
+    key = ("sample", cfg, tuple(prompt), max_tokens, float(temperature))
+    if key not in _DECODE_CACHE:
+        _DECODE_CACHE[key] = jax.jit(
+            lambda p, mel, k: whisper.sample_decode(p, mel, cfg, list(key[2]), k, temperature=temperature, max_tokens=max_tokens)
+        )
+    return _DECODE_CACHE[key]
+
+
+def _jitted_beam(cfg, prompt, max_tokens, beam_size):
+    from ssak_tpu.models import whisper
+
+    key = ("beam", cfg, tuple(prompt), max_tokens, beam_size)
+    if key not in _DECODE_CACHE:
+        _DECODE_CACHE[key] = jax.jit(
+            lambda p, mel: whisper.beam_decode(p, mel, cfg, list(key[2]), beam_size=beam_size, max_tokens=max_tokens)
+        )
+    return _DECODE_CACHE[key]
+
+
+def transcribe_with_fallback(
+    model,
+    mel,
+    prompt,
+    max_tokens: int = 224,
+    beam_size: int = 0,
+    temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: float = 2.4,
+    logprob_threshold: float = -1.0,
+    seed: int = 0,
+):
+    """Whisper-style temperature fallback (reference whisper_infer.py
+    --accurate preset; openai-whisper decode loop): try beam/greedy at
+    T=0, retry failing utterances with sampling at increasing temperature
+    until compression-ratio and avg-logprob checks pass."""
+    import jax as _jax
+
+    cfg = model.cfg
+    eot = model.tokenizer.eot if model.tokenizer else cfg.eot
+    B = mel.shape[0]
+    texts = [None] * B
+
+    def decode_ids(tokens, lengths, b):
+        ids = [int(t) for t in np.asarray(tokens)[b][: int(np.asarray(lengths)[b])] if int(t) != eot]
+        return model.tokenizer.decode(ids) if model.tokenizer else " ".join(map(str, ids))
+
+    pending = list(range(B))
+    for ti, temp in enumerate(temperatures):
+        if not pending:
+            break
+        if temp == 0.0 and beam_size > 1:
+            tokens, lengths, scores = _jitted_beam(cfg, prompt, max_tokens, beam_size)(model.params, mel)
+            avg_lp = np.asarray(scores) / np.maximum(1, np.asarray(lengths))
+        else:
+            key = _jax.random.PRNGKey(seed + ti)
+            tokens, lengths, sum_lp = _jitted_sample(cfg, prompt, max_tokens, temp)(model.params, mel, key)
+            avg_lp = np.asarray(sum_lp) / np.maximum(1, np.asarray(lengths))
+        still = []
+        for b in pending:
+            text = decode_ids(tokens, lengths, b)
+            ok = compression_ratio(text) <= compression_ratio_threshold and (
+                avg_lp[b] >= logprob_threshold or temp == temperatures[-1]
+            )
+            if ok or ti == len(temperatures) - 1:
+                texts[b] = text
+            else:
+                still.append(b)
+        pending = still
+    return ["" if t is None else t for t in texts]
+
+
+def whisper_transcribe_batch(
+    model, batch, language: str = None, task: str = "transcribe", max_tokens: int = 224,
+    beam_size: int = 0, temperature_fallback: bool = False,
+):
     """batch: list of 1-D float32 arrays at 16 kHz -> list of transcripts.
-    Utterances longer than 30 s are windowed and window texts joined."""
+    Utterances longer than 30 s are windowed and window texts joined.
+    beam_size>1 / temperature_fallback enable the 'accurate' decode chain."""
     from ssak_tpu.models import whisper
 
     cfg = model.cfg
@@ -63,12 +147,20 @@ def whisper_transcribe_batch(model, batch, language: str = None, task: str = "tr
         group = windows[w0 : w0 + max(1, len(batch))]
         x = np.stack([np.asarray(pad_or_trim(jnp.asarray(w), window_samples)) for w in group])
         mel = log_mel_spectrogram(jnp.asarray(x), n_mels=cfg.n_mels)
-        tokens, lengths = _jitted_greedy(cfg, prompt, max_tokens)(model.params, mel)
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
-        for gi in range(len(group)):
-            ids = [int(t) for t in tokens[gi, : lengths[gi]] if int(t) != eot]
-            piece = model.tokenizer.decode(ids) if model.tokenizer else " ".join(map(str, ids))
+        if beam_size > 1 or temperature_fallback:
+            pieces = transcribe_with_fallback(
+                model, mel, prompt, max_tokens=max_tokens, beam_size=beam_size,
+                temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if temperature_fallback else (0.0,),
+            )
+        else:
+            tokens, lengths = _jitted_greedy(cfg, prompt, max_tokens)(model.params, mel)
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            pieces = []
+            for gi in range(len(group)):
+                ids = [int(t) for t in tokens[gi, : lengths[gi]] if int(t) != eot]
+                pieces.append(model.tokenizer.decode(ids) if model.tokenizer else " ".join(map(str, ids)))
+        for gi, piece in enumerate(pieces):
             bi = origins[w0 + gi]
             texts[bi] = (texts[bi] + " " + piece).strip() if piece else texts[bi]
     return texts
@@ -81,6 +173,8 @@ def whisper_infer(
     language: str = None,
     output_ids: bool = False,
     seeded_test_config: str = None,
+    beam_size: int = 0,
+    temperature_fallback: bool = False,
 ):
     from ssak_tpu.data.dataset import to_audio_batches
     from ssak_tpu.infer.general import load_model
@@ -88,7 +182,9 @@ def whisper_infer(
     model = load_model(model_dir, seeded_test_config=seeded_test_config)
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True)
     for batch, ids in batches:
-        texts = whisper_transcribe_batch(model, batch, language=language)
+        texts = whisper_transcribe_batch(
+            model, batch, language=language, beam_size=beam_size, temperature_fallback=temperature_fallback
+        )
         for i, t in zip(ids, texts):
             yield (i, t) if output_ids else t
 
@@ -104,11 +200,18 @@ def cli(argv=None):
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--use_ids", action="store_true", default=True)
     parser.add_argument("--no-use_ids", dest="use_ids", action="store_false")
+    parser.add_argument("--beam_size", type=int, default=0)
+    parser.add_argument("--accurate", action="store_true", help="beam 5 + temperature fallback (reference --accurate preset)")
+    parser.add_argument("--efficient", action="store_true", help="greedy decode (reference --efficient preset)")
     args = parser.parse_args(argv)
+    beam = 5 if args.accurate else (0 if args.efficient else args.beam_size)
 
     out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
     try:
-        for item in whisper_infer(args.model, args.data, batch_size=args.batch_size, language=args.language, output_ids=args.use_ids):
+        for item in whisper_infer(
+            args.model, args.data, batch_size=args.batch_size, language=args.language,
+            output_ids=args.use_ids, beam_size=beam, temperature_fallback=args.accurate,
+        ):
             out.write(f"{item[0]} {item[1]}\n" if args.use_ids else f"{item}\n")
             out.flush()
     finally:

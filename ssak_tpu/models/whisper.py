@@ -236,6 +236,120 @@ def greedy_decode(params, mel, cfg: WhisperConfig, prompt, max_tokens: int = Non
     return tokens, lengths
 
 
+def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: float = 1.0, max_tokens: int = None):
+    """Temperature sampling decode (used by the temperature-fallback chain,
+    reference whisper_infer.py accurate preset / openai-whisper semantics).
+    Returns (tokens, lengths, sum_logprob (B,))."""
+    B = mel.shape[0]
+    max_tokens = max_tokens or (cfg.n_text_ctx - len(prompt) - 1)
+    audio_features = encode(params, mel, cfg)
+    cross_kvs = precompute_cross_kv(params, audio_features, cfg)
+    caches = init_cache(cfg, B)
+
+    logits = None
+    for i, tok in enumerate(prompt):
+        token = jnp.full((B, 1), int(tok), jnp.int32)
+        logits, caches = _decode_step(params, token, i, caches, cross_kvs, cfg)
+
+    def pick(logits, k):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if temperature > 0:
+            tok = jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tok, jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+
+    k0, key = jax.random.split(key)
+    first, lp0 = pick(logits, k0)
+    done0 = first == cfg.eot
+
+    def step(carry, inp):
+        token, caches, done, acc = carry
+        i, k = inp
+        logits, new_caches = _decode_step(params, token, len(prompt) + i, caches, cross_kvs, cfg)
+        next_tok, lp = pick(logits, k)
+        next_tok = jnp.where(done, cfg.eot, next_tok)
+        acc = acc + jnp.where(done, 0.0, lp)
+        done = done | (next_tok == cfg.eot)
+        return (next_tok[:, None], new_caches, done, acc), next_tok
+
+    keys = jax.random.split(key, max(1, max_tokens - 1))
+    carry = (first[:, None], caches, done0, lp0)
+    if max_tokens > 1:
+        carry, rest = jax.lax.scan(step, carry, (jnp.arange(1, max_tokens), keys))
+        tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        tokens = first[:, None]
+    sum_logprob = carry[3]
+    lengths = jnp.sum(tokens != cfg.eot, axis=1)
+    return tokens, lengths, sum_logprob
+
+
+def beam_decode(params, mel, cfg: WhisperConfig, prompt, beam_size: int = 5, max_tokens: int = None, length_penalty: float = None):
+    """Batched beam-search decode. Beams are folded into the batch dim so
+    the cached decode step stays one compiled program; returns the best
+    beam per utterance ((B, L) tokens, lengths, scores).
+
+    Replaces the reference's openai-whisper BeamSearchDecoder
+    (whisper_infer.py beam_size option) with an on-device scan.
+    """
+    B = mel.shape[0]
+    K = beam_size
+    max_tokens = max_tokens or (cfg.n_text_ctx - len(prompt) - 1)
+    audio_features = encode(params, mel, cfg)
+    # expand to (B*K, ...)
+    af = jnp.repeat(audio_features, K, axis=0)
+    cross_kvs = precompute_cross_kv(params, af, cfg)
+    caches = init_cache(cfg, B * K)
+
+    logits = None
+    for i, tok in enumerate(prompt):
+        token = jnp.full((B * K, 1), int(tok), jnp.int32)
+        logits, caches = _decode_step(params, token, i, caches, cross_kvs, cfg)
+
+    logp = jax.nn.log_softmax(logits.reshape(B, K, -1), axis=-1)  # (B, K, V)
+    V = logp.shape[-1]
+    # initialize: only beam 0 is live
+    init_scores = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, -1e30) + 0.0
+    first_scores, first_tokens = jax.lax.top_k(logp[:, 0, :], K)  # (B, K)
+    scores = first_scores
+    tokens_hist = jnp.full((B, K, max_tokens), cfg.eot, jnp.int32)
+    tokens_hist = tokens_hist.at[:, :, 0].set(first_tokens)
+    finished = first_tokens == cfg.eot
+
+    def step(carry, i):
+        scores, tokens_hist, finished, caches = carry
+        last = tokens_hist[:, :, i - 1]
+        token = last.reshape(B * K, 1)
+        logits, new_caches = _decode_step(params, token, len(prompt) + i, caches, cross_kvs, cfg)
+        logp = jax.nn.log_softmax(logits.reshape(B, K, V), axis=-1)
+        # finished beams only extend with EOT at no cost
+        eot_only = jnp.where(jnp.arange(V)[None, None, :] == cfg.eot, 0.0, -1e30)
+        logp = jnp.where(finished[..., None], eot_only, logp)
+        cand = scores[..., None] + logp  # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        new_scores, idx = jax.lax.top_k(flat, K)
+        src_beam = idx // V
+        new_tok = (idx % V).astype(jnp.int32)
+        # reorder histories and caches by src_beam
+        tokens_hist = jnp.take_along_axis(tokens_hist, src_beam[..., None], axis=1)
+        tokens_hist = tokens_hist.at[:, :, i].set(new_tok)
+        finished = jnp.take_along_axis(finished, src_beam, axis=1) | (new_tok == cfg.eot)
+        gather = (src_beam + jnp.arange(B)[:, None] * K).reshape(-1)
+        new_caches = jax.tree_util.tree_map(lambda c: c[gather], new_caches)
+        return (new_scores, tokens_hist, finished, new_caches), None
+
+    carry = (scores, tokens_hist, finished, caches)
+    if max_tokens > 1:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, max_tokens))
+    scores, tokens_hist, finished, _ = carry
+    lengths = jnp.sum(tokens_hist != cfg.eot, axis=2)  # (B, K)
+    norm = lengths.astype(jnp.float32) + 1.0 if length_penalty is None else ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    best = jnp.argmax(scores / norm, axis=1)  # (B,)
+    tokens = jnp.take_along_axis(tokens_hist, best[:, None, None], axis=1)[:, 0]
+    return tokens, jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0], jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+
+
 def cross_entropy_loss(logits, targets, mask):
     """Label-smoothed-free CE for seq2seq training. targets: (B, U)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
