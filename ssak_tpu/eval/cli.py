@@ -8,6 +8,9 @@ import sys
 
 
 def main(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description="WER/CER between two '<id> <text>' files")
     p.add_argument("references")
     p.add_argument("predictions")

@@ -8,6 +8,9 @@ import sys
 
 
 def main(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     # peek at the model dir to dispatch
     pos = [a for a in argv if not a.startswith("-")]

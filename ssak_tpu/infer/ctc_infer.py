@@ -63,6 +63,43 @@ def ctc_transcribe_batch(model, batch):
     return decode_log_probas(model, lp, fl)
 
 
+def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, beam_width: int = 25):
+    """Beam-search decode with word n-gram LM shallow fusion (pyctcdecode-
+    equivalent capability, reference transformers_decoder_with_lm:272)."""
+    from ssak_tpu.decode.ctc_beam import ctc_prefix_beam_search
+    from ssak_tpu.infer.general import compute_log_probas
+
+    lens = [len(a) for a in batch]
+    pad_to = _bucket_len(max(lens))
+    x = np.zeros((len(batch), pad_to), np.float32)
+    for i, a in enumerate(batch):
+        x[i, : len(a)] = a
+    lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens, np.int32))
+    lp = np.asarray(lp)
+    fl = np.asarray(fl)
+    vocab = model.vocab()
+    texts = []
+    for b in range(len(batch)):
+        res = ctc_prefix_beam_search(lp[b, : fl[b]], vocab, blank_id=model.cfg.blank_id, beam_width=beam_width, lm=lm, alpha=alpha, beta=beta)
+        texts.append(res[0][0] if res else "")
+    return texts
+
+
+def ctc_decode_beam_device(model, batch, beam_width: int = 16, lm_table=None, lm_alpha: float = 0.5):
+    """On-device batched beam search (optionally char-LM fused)."""
+    from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
+    from ssak_tpu.infer.general import compute_log_probas
+
+    lens = [len(a) for a in batch]
+    pad_to = _bucket_len(max(lens))
+    x = np.zeros((len(batch), pad_to), np.float32)
+    for i, a in enumerate(batch):
+        x[i, : len(a)] = a
+    lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens, np.int32))
+    tokens, lengths = ctc_beam_search_device(lp, fl, beam_width=beam_width, blank_id=model.cfg.blank_id, lm_table=lm_table, lm_alpha=lm_alpha)
+    return [model.tokenizer.decode(tokens[b, : lengths[b]]) for b in range(len(batch))]
+
+
 def ctc_infer(
     model_dir,
     audios,
@@ -71,18 +108,34 @@ def ctc_infer(
     output_ids: bool = False,
     log_memtime: bool = False,
     seeded_test_config: str = None,
+    lm_path: str = None,
+    lm_alpha: float = 0.5,
+    lm_beta: float = 1.5,
+    beam_width: int = 0,
 ):
     """Generator over transcripts (optionally (id, text)) for any audio
-    source accepted by to_audio_batches."""
+    source accepted by to_audio_batches. lm_path: ARPA n-gram for
+    shallow-fusion beam decoding; beam_width>0 without LM uses the
+    on-device batched beam."""
     from ssak_tpu.data.dataset import to_audio_batches
     from ssak_tpu.infer.general import load_model
     from ssak_tpu.utils.monitoring import ThroughputMeter, logger
 
     model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    lm = None
+    if lm_path:
+        from ssak_tpu.decode.lm import ArpaLM
+
+        lm = ArpaLM(lm_path)
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
     for batch, ids in batches:
-        texts = ctc_transcribe_batch(model, batch)
+        if lm is not None:
+            texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25)
+        elif beam_width > 1:
+            texts = ctc_decode_beam_device(model, batch, beam_width=beam_width)
+        else:
+            texts = ctc_transcribe_batch(model, batch)
         meter.update(sum(len(a) for a in batch) / model.sample_rate)
         for i, t in zip(ids, texts):
             yield (i, t) if output_ids else t
@@ -91,6 +144,9 @@ def ctc_infer(
 
 
 def cli(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     parser = argparse.ArgumentParser(description="Transcribe audio with a wav2vec2-CTC model (TPU)")
@@ -102,6 +158,10 @@ def cli(argv=None):
     parser.add_argument("--use_ids", action="store_true", default=True)
     parser.add_argument("--no-use_ids", dest="use_ids", action="store_false")
     parser.add_argument("--log_memtime", action="store_true")
+    parser.add_argument("--lm", default=None, help="ARPA n-gram LM for shallow-fusion beam decoding")
+    parser.add_argument("--lm_alpha", type=float, default=0.5)
+    parser.add_argument("--lm_beta", type=float, default=1.5)
+    parser.add_argument("--beam_width", type=int, default=0, help=">1 enables on-device beam search")
     args = parser.parse_args(argv)
 
     out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
@@ -109,6 +169,7 @@ def cli(argv=None):
         for item in ctc_infer(
             args.model, args.data, batch_size=args.batch_size, sort_by_len=args.sort_by_len,
             output_ids=args.use_ids, log_memtime=args.log_memtime,
+            lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width,
         ):
             if args.use_ids:
                 out.write(f"{item[0]} {item[1]}\n")

@@ -35,7 +35,10 @@ class LoadedModel:
 
     def vocab(self):
         if self.type == ModelType.WAV2VEC2_CTC:
-            return [self.tokenizer.id2tok.get(i, "") for i in range(len(self.tokenizer))]
+            # padded to the model's logit dimension (config may round the
+            # vocab up past the tokenizer size)
+            n = max(len(self.tokenizer), getattr(self.cfg, "vocab_size", 0))
+            return [self.tokenizer.id2tok.get(i, "") for i in range(n)]
         raise ValueError("vocab() only defined for CTC models")
 
 
@@ -52,10 +55,19 @@ def get_model_type(model_dir: str) -> str:
 
 
 def load_model(model_dir: str, seeded_test_config: str = None) -> LoadedModel:
-    """Load from an HF-format checkpoint dir. seeded_test_config builds a
-    random tiny model instead (offline tests): 'whisper' or 'wav2vec2'."""
+    """Load from an HF-format checkpoint dir OR a ssak_tpu exported dir
+    (sak-finalize output). seeded_test_config builds a random tiny model
+    instead (offline tests): 'whisper' or 'wav2vec2'."""
     if seeded_test_config:
         return _seeded_model(seeded_test_config)
+    if os.path.exists(os.path.join(model_dir, "ssak_config.json")):
+        from ssak_tpu.train.finalize import load_exported
+
+        mtype, params, cfg, tokenizer = load_exported(model_dir)
+        import jax.numpy as _jnp
+
+        params = jax.tree_util.tree_map(_jnp.asarray, params)
+        return LoadedModel(mtype, params, cfg, tokenizer)
     mtype = get_model_type(model_dir)
     if mtype == ModelType.WHISPER:
         from ssak_tpu.models.hf_loader import load_whisper

@@ -190,6 +190,9 @@ def whisper_infer(
 
 
 def cli(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     parser = argparse.ArgumentParser(description="Transcribe audio with Whisper (TPU)")

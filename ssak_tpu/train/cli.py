@@ -49,6 +49,9 @@ def args_to_run_name(args) -> str:
 
 
 def main(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
 
     import jax
@@ -107,6 +110,10 @@ def main(argv=None):
         f.write(json.dumps({"train": meta_tr, "valid": meta_va, "vocab_size": len(tokenizer)}, indent=1))
     save_source_dir(run_dir)
     tokenizer.save(os.path.join(run_dir, "vocab.json"))
+    import dataclasses
+
+    with open(os.path.join(run_dir, "ssak_config.json"), "w") as f:
+        json.dump({"model_type": "wav2vec2_ctc", "config": dataclasses.asdict(cfg)}, f, indent=1)
 
     trainer = CTCTrainer(
         cfg, params, tokenizer, run_dir,

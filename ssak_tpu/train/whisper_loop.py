@@ -160,6 +160,9 @@ def evaluate_whisper(params, cfg, tokenizer, eval_rows, batcher, normalize_text=
 
 
 def main(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Fine-tune Whisper on Kaldi data (TPU)")
     p.add_argument("train")
     p.add_argument("valid")

@@ -9,6 +9,26 @@ dance: we expose helpers to query the platform, build meshes, and force CPU
 import os
 
 
+def apply_platform_env():
+    """Honor JAX_PLATFORMS even when the interpreter pre-imported jax with
+    another default platform (sitecustomize-registered TPU plugins): the
+    env var is re-applied through jax.config before any backend is touched.
+    Call at the top of every CLI entry point."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+        if want == "cpu":
+            n = int(os.environ.get("SSAK_TPU_CPU_DEVICES", "0") or 0)
+            if n:
+                jax.config.update("jax_num_cpu_devices", n)
+    except Exception:
+        pass
+
+
 def force_cpu(n_virtual_devices: int = 0):
     """Must be called before jax is imported. Makes jax run on host CPU,
     optionally with N virtual devices for sharding tests."""

@@ -114,6 +114,9 @@ def split_long_audio_kaldifolder(
 
 
 def main(argv=None):
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input_dir")
     p.add_argument("output_dir")
