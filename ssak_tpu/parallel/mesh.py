@@ -13,6 +13,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str = None, num_processes: int = None, process_id: int = None):
+    """Initialize jax.distributed for multi-host pods (DCN coordination;
+    collectives still ride ICI). On Cloud TPU the arguments are discovered
+    from the environment automatically."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs = {
+            "coordinator_address": coordinator_address,
+            "num_processes": num_processes,
+            "process_id": process_id,
+        }
+    jax.distributed.initialize(**kwargs)
+    from ssak_tpu.utils.monitoring import logger
+
+    logger.info(
+        f"multihost initialized: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+    )
+
+
 def make_mesh(data: int = None, model: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh. data defaults to n_devices/model."""
     devices = devices if devices is not None else jax.devices()

@@ -68,6 +68,40 @@ def device_memory_stats(device=None) -> dict:
     }
 
 
+class profile_trace:
+    """Context manager around jax.profiler for TPU timeline captures —
+    replaces the reference's manual tic/toc + py3nvml polling with real
+    profiler traces viewable in TensorBoard/Perfetto.
+
+        with profile_trace("/tmp/ssak-trace"):
+            train_step(...)
+    """
+
+    def __init__(self, log_dir: str, create_perfetto_link: bool = False):
+        self.log_dir = log_dir
+        self.create_perfetto_link = create_perfetto_link
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir, create_perfetto_link=self.create_perfetto_link)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {self.log_dir}")
+        return False
+
+
+def annotate(name: str):
+    """Named region for profiler timelines (jax.profiler.TraceAnnotation)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
 class ThroughputMeter:
     """Tracks audio-seconds processed per wall-clock second."""
 
