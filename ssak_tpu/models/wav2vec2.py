@@ -124,12 +124,19 @@ def feature_extractor(params, waveform, cfg: Wav2Vec2Config):
     return x
 
 
-def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None):
-    """waveform: (B, T) float32 -> (hidden (B, F, D), frame_lengths (B,))."""
+def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
+    """waveform: (B, T) float32 -> (hidden (B, F, D), frame_lengths (B,)).
+
+    time_mask: optional bool (B, F) — masked frames are zeroed after the
+    feature projection (wav2vec2 mask_time_prob-style SpecAugment,
+    HF Wav2Vec2Config.mask_time_prob / reference yaml TimeDomainSpecAugment
+    capability)."""
     dt = cfg.compute_dtype
     feats = feature_extractor(params, waveform, cfg)
     fp = params["feature_projection"]
     x = L.dense(L.layer_norm(feats, fp["layer_norm"]), fp["projection"], dt)
+    if time_mask is not None:
+        x = jnp.where(time_mask[:, : x.shape[1], None], 0.0, x)
 
     frame_lengths = (
         feature_extract_output_length(cfg, lengths) if lengths is not None
@@ -163,13 +170,13 @@ def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None):
     return x, frame_lengths
 
 
-def ctc_logits(params, waveform, cfg: Wav2Vec2Config, lengths=None):
+def ctc_logits(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
     """Full forward: waveform -> (logits (B, F, V), frame_lengths)."""
-    hidden, frame_lengths = encode(params, waveform, cfg, lengths)
+    hidden, frame_lengths = encode(params, waveform, cfg, lengths, time_mask=time_mask)
     logits = L.dense(hidden, params["lm_head"], cfg.compute_dtype)
     return logits, frame_lengths
 
 
-def ctc_log_probs(params, waveform, cfg: Wav2Vec2Config, lengths=None):
-    logits, fl = ctc_logits(params, waveform, cfg, lengths)
+def ctc_log_probs(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
+    logits, fl = ctc_logits(params, waveform, cfg, lengths, time_mask=time_mask)
     return jax.nn.log_softmax(logits, axis=-1), fl

@@ -16,6 +16,9 @@ def build_parser():
     p = argparse.ArgumentParser(description="Fine-tune a wav2vec2-CTC model on Kaldi data (TPU)")
     p.add_argument("train", help="Kaldi dir or weighted list file")
     p.add_argument("valid", help="Kaldi dir or list file")
+    p.add_argument("--config", default=None, help="YAML config file; CLI flags and key=value overrides win")
+    p.add_argument("--set", dest="overrides", action="append", default=[], help="config override a.b=value (repeatable)")
+    p.add_argument("--mask_time_prob", type=float, default=0.05, help="on-device SpecAugment span-mask probability")
     p.add_argument("--base_model", default=None, help="HF checkpoint dir (omit for random tiny model)")
     p.add_argument("--output_dir", default="runs")
     p.add_argument("--language", default="fr")
@@ -52,7 +55,18 @@ def main(argv=None):
     from ssak_tpu.utils.env import apply_platform_env
 
     apply_platform_env()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config or args.overrides:
+        from ssak_tpu.utils.config import flatten_config, load_config
+
+        cfg_tree = load_config(args.config, overrides=args.overrides)
+        defaults = {k: parser.get_default(k) for k in vars(args)}
+        for key, val in flatten_config(cfg_tree).items():
+            name = key.replace(".", "_")
+            # YAML fills anything the user left at its CLI default
+            if hasattr(args, name) and getattr(args, name) == defaults.get(name):
+                setattr(args, name, val)
 
     import jax
     import numpy as np
@@ -121,7 +135,8 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, total_steps=args.max_steps,
         batch_size=args.batch_size, eval_steps=args.eval_steps,
         save_total_limit=args.save_total_limit, early_stopping_patience=args.early_stopping,
-        freeze_feature_encoder=args.freeze, augmenter=augmenter, seed=args.seed,
+        freeze_feature_encoder=args.freeze, mask_time_prob=args.mask_time_prob,
+        augmenter=augmenter, seed=args.seed,
         normalize_text=norm,
     )
     if args.resume:

@@ -42,6 +42,7 @@ class CTCTrainer:
         save_total_limit: int = 2,
         early_stopping_patience: int = 15,
         freeze_feature_encoder: bool = True,
+        mask_time_prob: float = 0.05,
         augmenter=None,
         sample_rate: int = 16000,
         buckets=(2.0, 4.0, 8.0, 15.0, 30.0),
@@ -68,7 +69,9 @@ class CTCTrainer:
             warmup_steps=warmup_steps, total_steps=total_steps,
         )
         self.state = init_train_state(params, self.optimizer)
-        self.train_step = make_ctc_train_step(cfg, self.optimizer, frozen_feature_encoder=freeze_feature_encoder)
+        self.train_step = make_ctc_train_step(
+            cfg, self.optimizer, frozen_feature_encoder=freeze_feature_encoder, mask_time_prob=mask_time_prob
+        )
         self.eval_step = make_ctc_eval_step(cfg)
         self.log_history = []
         self.best_wer = float("inf")
