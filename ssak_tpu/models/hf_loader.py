@@ -153,7 +153,9 @@ def load_whisper(model_dir: str):
     }
     import jax
 
-    params = jax.tree_util.tree_map(np.asarray, params)
+    import jax.numpy as _jnp
+
+    params = jax.tree_util.tree_map(_jnp.asarray, params)
     logger.info(f"loaded Whisper from {model_dir}: d={cfg.n_audio_state}, enc={cfg.n_audio_layer}, dec={cfg.n_text_layer}")
     return params, cfg
 
@@ -241,6 +243,8 @@ def load_wav2vec2(model_dir: str):
         params["lm_head"] = {"kernel": _t(sd["lm_head.weight"]), "bias": sd["lm_head.bias"]}
     import jax
 
-    params = jax.tree_util.tree_map(np.asarray, params)
+    import jax.numpy as _jnp
+
+    params = jax.tree_util.tree_map(_jnp.asarray, params)
     logger.info(f"loaded wav2vec2 from {model_dir}: d={cfg.hidden_size}, layers={cfg.num_layers}, vocab={cfg.vocab_size}")
     return params, cfg

@@ -218,7 +218,7 @@ def greedy_decode(params, mel, cfg: WhisperConfig, prompt, max_tokens: int = Non
 
     def step(carry, i):
         token, caches, done = carry
-        logits, new_caches = _decode_step(params, token, len(prompt) + i, caches, cross_kvs, cfg)
+        logits, new_caches = _decode_step(params, token, len(prompt) + i - 1, caches, cross_kvs, cfg)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(done, cfg.eot, next_tok)
         done = done | (next_tok == cfg.eot)
@@ -266,7 +266,7 @@ def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: flo
     def step(carry, inp):
         token, caches, done, acc = carry
         i, k = inp
-        logits, new_caches = _decode_step(params, token, len(prompt) + i, caches, cross_kvs, cfg)
+        logits, new_caches = _decode_step(params, token, len(prompt) + i - 1, caches, cross_kvs, cfg)
         next_tok, lp = pick(logits, k)
         next_tok = jnp.where(done, cfg.eot, next_tok)
         acc = acc + jnp.where(done, 0.0, lp)
@@ -321,7 +321,7 @@ def beam_decode(params, mel, cfg: WhisperConfig, prompt, beam_size: int = 5, max
         scores, tokens_hist, finished, caches = carry
         last = tokens_hist[:, :, i - 1]
         token = last.reshape(B * K, 1)
-        logits, new_caches = _decode_step(params, token, len(prompt) + i, caches, cross_kvs, cfg)
+        logits, new_caches = _decode_step(params, token, len(prompt) + i - 1, caches, cross_kvs, cfg)
         logp = jax.nn.log_softmax(logits.reshape(B, K, V), axis=-1)
         # finished beams only extend with EOT at no cost
         eot_only = jnp.where(jnp.arange(V)[None, None, :] == cfg.eot, 0.0, -1e30)
