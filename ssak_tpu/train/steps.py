@@ -59,32 +59,39 @@ def init_train_state(params, optimizer):
 def make_ctc_train_step(
     cfg, optimizer, frozen_feature_encoder: bool = True,
     mask_time_prob: float = 0.0, mask_time_length: int = 10,
+    family: str = "wav2vec2",
 ):
-    """wav2vec2 CTC step. batch: {audio (B,T), audio_lengths (B,),
-    labels (B,U), label_lengths (B,)}. Returns (state, metrics).
+    """CTC step for either acoustic family ('wav2vec2' or 'conformer').
+    batch: {audio (B,T), audio_lengths (B,), labels (B,U),
+    label_lengths (B,)}. Returns (state, metrics).
 
     frozen_feature_encoder mirrors reference wav2vec_train.py:318
-    freeze_feature_encoder (conv feature extractor grads zeroed).
-    mask_time_prob > 0 enables on-device SpecAugment span masking of
-    hidden frames (key derived from the step counter — deterministic).
+    freeze_feature_encoder (conv feature extractor grads zeroed;
+    wav2vec2 only). mask_time_prob > 0 enables on-device SpecAugment span
+    masking of hidden frames (key derived from the step counter).
     """
     from ssak_tpu.models import wav2vec2
 
     def loss_fn(params, batch, step):
-        time_mask = None
-        if mask_time_prob > 0:
-            from ssak_tpu.augment.specaugment import mask_time_indices
+        if family == "conformer":
+            from ssak_tpu.models import conformer
 
-            B, T = batch["audio"].shape
-            F = wav2vec2.feature_extract_output_length(cfg, T)
-            key = jax.random.fold_in(jax.random.PRNGKey(0), step)
-            time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
-        log_probs, frame_lengths = wav2vec2.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask)
+            log_probs, frame_lengths = conformer.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
+        else:
+            time_mask = None
+            if mask_time_prob > 0:
+                from ssak_tpu.augment.specaugment import mask_time_indices
+
+                B, T = batch["audio"].shape
+                F = wav2vec2.feature_extract_output_length(cfg, T)
+                key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+                time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
+            log_probs, frame_lengths = wav2vec2.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask)
         loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
         return loss
 
     def mask_frozen(grads):
-        if not frozen_feature_encoder:
+        if not frozen_feature_encoder or family != "wav2vec2":
             return grads
         g = dict(grads)
         g["feature_extractor"] = jax.tree_util.tree_map(jnp.zeros_like, grads["feature_extractor"])
