@@ -1,0 +1,101 @@
+"""Streaming recognition: block decoder consistency + full websocket round
+trip (our server <-> our client protocol)."""
+
+import asyncio
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model():
+    from ssak_tpu.infer.general import _seeded_model
+
+    return _seeded_model("wav2vec2")
+
+
+def test_streaming_matches_offline(model, monkeypatch):
+    """With a frame-local acoustic stub (token = energy bucket of the
+    frame), streaming block decode must equal offline decode exactly —
+    isolates the block/context/emission bookkeeping from model numerics
+    (a random NN flips argmax with any context change)."""
+    import jax.numpy as jnp
+
+    import ssak_tpu.infer.general as G
+    from ssak_tpu.infer.ctc_infer import ctc_transcribe_batch
+    from ssak_tpu.infer.streaming import StreamingCTCDecoder
+
+    V = model.cfg.vocab_size
+    stride = 320
+
+    def stub_log_probas(mdl, audio, lengths=None):
+        x = np.asarray(audio)
+        B, T = x.shape
+        F = T // stride
+        frames = x[:, : F * stride].reshape(B, F, stride)
+        rms = np.sqrt((frames**2).mean(-1))
+        tok = np.where(rms < 0.02, 0, 5 + (np.minimum(rms, 0.5) * 40).astype(np.int32) % (V - 6))
+        lp = np.full((B, F, V), -10.0, np.float32)
+        for b in range(B):
+            lp[b, np.arange(F), tok[b]] = 0.0
+        fl = (np.asarray(lengths) // stride) if lengths is not None else np.full((B,), F)
+        return jnp.asarray(lp), jnp.asarray(fl, np.int32)
+
+    monkeypatch.setattr(G, "compute_log_probas", stub_log_probas)
+
+    # piecewise-constant "audio": runs of distinct amplitudes
+    rng = np.random.RandomState(0)
+    pieces = []
+    for amp in (0.05, 0.0, 0.2, 0.4, 0.0, 0.11, 0.3):
+        pieces.append(np.full(stride * rng.randint(3, 9), amp, np.float32))
+    audio = np.concatenate(pieces)
+
+    dec = StreamingCTCDecoder(model, block_seconds=0.5, context_seconds=0.32)
+    for i in range(0, len(audio), 2048):
+        dec.accept_waveform(audio[i : i + 2048])
+    streamed = dec.finalize()
+    [offline] = ctc_transcribe_batch(model, [audio])
+    assert streamed == offline, f"{streamed!r} vs {offline!r}"
+
+
+def test_streaming_partials_accumulate(model):
+    from ssak_tpu.infer.streaming import StreamingCTCDecoder
+
+    rng = np.random.RandomState(0)
+    dec = StreamingCTCDecoder(model, block_seconds=0.5, context_seconds=0.25)
+    partials = []
+    for _ in range(6):
+        if dec.accept_waveform(rng.randn(4000).astype(np.float32) * 0.1):
+            partials.append(dec.partial_result())
+    final = dec.finalize()
+    assert len(partials) >= 2
+    # partials only grow (prefix property of streaming greedy)
+    for a, b in zip(partials, partials[1:]):
+        assert b.startswith(a[: max(0, len(a) - 3)])
+    assert final.startswith(partials[0][: max(0, len(partials[0]) - 3)])
+
+
+def test_websocket_roundtrip(model, reference_data_dir):
+    """Our ws server <-> our remote_streaming client on a real wav."""
+    from ssak_tpu.audio import load_audio
+    from ssak_tpu.infer.streaming import serve_streaming
+    from ssak_tpu.remote import remote_streaming
+
+    audio = load_audio(os.path.join(reference_data_dir, "audio", "bonjour.wav"), sample_rate=16000)
+    partials = []
+
+    async def run():
+        server = await serve_streaming(model, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        try:
+            text = await remote_streaming(
+                f"ws://127.0.0.1:{port}", audio, on_partial=partials.append
+            )
+        finally:
+            server.close()
+            await server.wait_closed()
+        return text
+
+    text = asyncio.run(run())
+    assert isinstance(text, str) and len(text) > 0
