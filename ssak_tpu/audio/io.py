@@ -35,16 +35,17 @@ def _decode_file(path: str, start: float = 0.0, end: float = None):
             e = len(audio) if end is None else int(round(end * sr))
             audio = audio[s:e]
         return audio, sr
-    elif ext == ".flac":
+    else:
+        # FLAC / OGG / Opus / M4A / anything ffmpeg-supported via the
+        # native universal decoder
         from ssak_tpu.audio import flac as _flac
 
-        audio, sr = _flac.read_flac(path)
+        audio, sr = _flac.read_any(path)
         if start or end is not None:
             s = int(round(start * sr)) if start else 0
             e = len(audio) if end is None else int(round(end * sr))
             audio = audio[s:e]
         return audio, sr
-    raise ValueError(f"unsupported audio format: {path}")
 
 
 def load_audio(
@@ -113,11 +114,9 @@ def get_audio_duration(path) -> float:
         from ssak_tpu.audio import mp3 as _mp3
 
         return _mp3.mp3_duration(path)
-    if ext == ".flac":
-        from ssak_tpu.audio import flac as _flac
+    from ssak_tpu.audio import flac as _flac
 
-        return _flac.flac_duration(path)
-    raise ValueError(f"unsupported audio format: {path}")
+    return _flac.flac_duration(path)
 
 
 def get_audio_total_duration(paths) -> float:

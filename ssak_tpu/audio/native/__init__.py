@@ -52,5 +52,16 @@ def get_native_lib(auto_build: bool = True):
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "ssak_av_decode"):
+        lib.ssak_av_decode.restype = ctypes.c_long
+        lib.ssak_av_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ssak_av_duration.restype = ctypes.c_double
+        lib.ssak_av_duration.argtypes = [ctypes.c_char_p]
     _LIB = lib
     return _LIB

@@ -9,7 +9,8 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-SOURCES = ["mp3dec.cpp"]
+SOURCES = ["mp3dec.cpp", "avdec.cpp"]
+LIBS = ["-lavformat", "-lavcodec", "-lavutil"]
 
 
 def build(verbose: bool = False) -> str:
@@ -26,6 +27,7 @@ def build(verbose: bool = False) -> str:
         "-o",
         out,
         *srcs,
+        *LIBS,
     ]
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:

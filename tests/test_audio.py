@@ -132,3 +132,41 @@ def test_sox_pipe_decode(tmp_audio_dir, monkeypatch):
     assert abs(len(a) - 3 * 16000) <= 16
     d = get_audio_duration("sox $TESTAUDIO/noise8k.wav -t wav -r 16k -b 16 -c 1 - |")
     assert abs(d - 3.0) < 0.01
+
+
+def test_universal_decoder_matches_wav(tmp_audio_dir):
+    """The native ffmpeg-backed decoder must agree with our WAV codec."""
+    pytest.importorskip("ssak_tpu.audio.native.build")
+    from ssak_tpu.audio.native import get_native_lib
+
+    if get_native_lib() is None or not hasattr(get_native_lib(), "ssak_av_decode"):
+        pytest.skip("native universal decoder not built")
+    from ssak_tpu.audio.flac import read_any
+
+    p = os.path.join(tmp_audio_dir, "tone16k.wav")
+    a, sr = read_any(p)
+    b, sr2 = read_wav(p)
+    assert sr == sr2 == 16000
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() < 1e-4
+
+
+def test_universal_decoder_mp3_agrees_with_mpg123(reference_data_dir):
+    from ssak_tpu.audio.native import get_native_lib
+
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "ssak_av_decode"):
+        pytest.skip("native universal decoder not built")
+    from ssak_tpu.audio.flac import read_any
+    from ssak_tpu.audio.mp3 import read_mp3
+
+    p = os.path.join(reference_data_dir, "audio", "cfpp2channels.mp3")
+    a, sr_a = read_any(p)
+    b, sr_b = read_mp3(p)
+    assert sr_a == sr_b
+    # decoders may differ in delay-compensation padding; compare overlap RMS
+    n = min(len(a), len(b))
+    assert abs(len(a) - len(b)) < 5000
+    ra = np.sqrt((a[:n] ** 2).mean())
+    rb = np.sqrt((b[:n] ** 2).mean())
+    assert abs(ra - rb) / max(ra, rb) < 0.05
