@@ -156,3 +156,92 @@ class TestCLIs:
         assert out.returncode == 0, out.stderr[-1500:]
         segs = (tmp_path / "kd" / "segments").read_text().splitlines()
         assert len(segs) == 2
+
+
+class TestSegmentOps:
+    def _mk(self, tmp_audio_dir):
+        from ssak_tpu.data.kaldi_dataset import KaldiDataset, KaldiDatasetRow
+
+        wav = os.path.join(tmp_audio_dir, "tone16k.wav")
+        rows = [
+            # spk1 turn torn in two by spk2 overlapping it
+            KaldiDatasetRow(id="u1", audio_id="rec", audio_path=wav, start=0.0, end=0.5, text="bonjour", speaker="spk1"),
+            KaldiDatasetRow(id="u2", audio_id="rec", audio_path=wav, start=0.4, end=0.8, text="oui", speaker="spk2"),
+            KaldiDatasetRow(id="u3", audio_id="rec", audio_path=wav, start=0.6, end=1.0, text="tout le monde", speaker="spk1"),
+            # far-away segment: never glued (gap > max_silence)
+            KaldiDatasetRow(id="u4", audio_id="rec", audio_path=wav, start=5.0, end=5.5, text="fin", speaker="spk1"),
+        ]
+        return KaldiDataset(rows)
+
+    def test_find_overlaps(self, tmp_audio_dir):
+        from ssak_tpu.data.segment_ops import find_overlapping_segments
+
+        ds = self._mk(tmp_audio_dir)
+        over = find_overlapping_segments(ds)
+        assert "u2" in over or "u1" in over
+        assert "u4" not in over
+
+    def test_glue_overlap_mode(self, tmp_audio_dir):
+        from ssak_tpu.data.segment_ops import glue_overlapping_segments
+
+        ds = self._mk(tmp_audio_dir)
+        glued = glue_overlapping_segments(ds, max_silence=0.5, max_duration=15.0, mode="overlap")
+        by_id = {r.id: r for r in glued}
+        # u1+u3 merged (same speaker, overlap-flagged, gap 0.1s)
+        assert "u1" in by_id and "u3" not in by_id
+        assert by_id["u1"].text == "bonjour tout le monde"
+        assert by_id["u1"].end == 1.0
+        # u4 untouched
+        assert by_id["u4"].text == "fin"
+        assert len(glued) == 3
+
+    def test_glue_respects_max_duration(self, tmp_audio_dir):
+        from ssak_tpu.data.segment_ops import glue_overlapping_segments
+
+        ds = self._mk(tmp_audio_dir)
+        glued = glue_overlapping_segments(ds, max_silence=0.5, max_duration=0.7, mode="all")
+        # merged u1..u3 span would be 1.0s > 0.7 -> not merged
+        assert {r.id for r in glued} == {"u1", "u2", "u3", "u4"}
+
+    def test_rename_ids(self, tmp_audio_dir):
+        from ssak_tpu.data.segment_ops import rename_ids
+
+        ds = self._mk(tmp_audio_dir)
+        rename_ids(ds, "u", "x", rename_speakers=False)
+        assert {r.id for r in ds} == {"x1", "x2", "x3", "x4"}
+        assert all(r.speaker.startswith("spk") for r in ds)
+
+
+class TestKaldiToolsNewCommands:
+    def test_glue_cli(self, reference_data_dir, tmp_path):
+        import json
+
+        out = _tool(
+            ["/root/repo/tools/kaldi_tools.py", "glue",
+             os.path.join(reference_data_dir, "kaldi", "complete"), str(tmp_path / "glued"), "--mode", "all"],
+            cwd=str(tmp_path), env_extra={"DATAPATH": reference_data_dir},
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        stats = json.loads(out.stdout.strip().splitlines()[-1])
+        assert stats["segments_after"] < stats["segments_before"]
+        assert (tmp_path / "glued" / "segments").exists()
+
+    def test_rename_cli(self, reference_data_dir, tmp_path):
+        out = _tool(
+            ["/root/repo/tools/kaldi_tools.py", "rename",
+             os.path.join(reference_data_dir, "kaldi", "minimal"), str(tmp_path / "ren"),
+             "--char", "-", "--replacement", "_"],
+            cwd=str(tmp_path), env_extra={"DATAPATH": reference_data_dir},
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        for line in (tmp_path / "ren" / "text").read_text().splitlines():
+            assert "-" not in line.split()[0]
+
+    def test_duration_cli(self, reference_data_dir, tmp_path):
+        out = _tool(
+            ["/root/repo/tools/kaldi_tools.py", "duration",
+             os.path.join(reference_data_dir, "audio", "bonjour.wav")],
+            cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        assert "Total Duration of 1 files:" in out.stdout
