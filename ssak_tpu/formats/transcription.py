@@ -219,6 +219,25 @@ def _from_csv(content: str) -> TranscriptionResult:
 _TG_INTERVAL = re.compile(r'intervals\s*\[\d+\]:\s*xmin\s*=\s*([\d.]+)\s*xmax\s*=\s*([\d.]+)\s*text\s*=\s*"([^"]*)"', re.S)
 
 
+def parse_textgrid_tiers(content: str):
+    """Parse a TextGrid into per-tier interval lists
+    [[(xmin, xmax, text), ...], ...], keeping empty-text intervals out.
+    Used by the corpus importers (reference TextGrid2Kaldi:291 reads one
+    tier of multi-tier PFC TextGrids)."""
+    # split on IntervalTier item headers; header chunk before the first tier
+    chunks = re.split(r"item\s*\[\d+\]\s*:", content)
+    tiers = []
+    for chunk in chunks[1:] if len(chunks) > 1 else chunks:
+        intervals = [
+            (float(m.group(1)), float(m.group(2)), m.group(3))
+            for m in _TG_INTERVAL.finditer(chunk)
+            if m.group(3).strip()
+        ]
+        if intervals or len(chunks) > 1:
+            tiers.append(intervals)
+    return tiers
+
+
 def _from_textgrid(content: str) -> TranscriptionResult:
     r = TranscriptionResult()
     for m in _TG_INTERVAL.finditer(content):

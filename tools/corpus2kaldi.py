@@ -8,6 +8,8 @@ tsv2kaldi.py, transcriber2kaldi.py, textgrid2kaldi.py):
     corpus2kaldi.py tsv <corpus.tsv> <audio_root> <out_dir> [--audio_col path --text_col sentence]
     corpus2kaldi.py trs <audio> <file.trs> <out_dir>
     corpus2kaldi.py textgrid <audio> <file.TextGrid> <out_dir>
+    corpus2kaldi.py stm <file.stm> <audio_root> <out_dir>       (tools/kaldi/stm2kaldi.py)
+    corpus2kaldi.py vtt <vtt_folder> <audio_folder> <out_dir>   (tools/kaldi/vtt2kaldi_masc.py)
 """
 
 import argparse
@@ -86,6 +88,81 @@ def cmd_tsv(args):
     print(f"{args.out_dir}: {len(ds)} utts")
 
 
+def cmd_stm(args):
+    """NIST STM: lines 'filename channel speaker start end <flags> text'
+    (reference tools/kaldi/stm2kaldi.py). Audio '<filename>.wav' is looked
+    up under audio_root (underscores in ids normalized to hyphens as the
+    reference does)."""
+    import re
+
+    from ssak_tpu.data.kaldi_dataset import KaldiDataset, KaldiDatasetRow
+
+    rx = re.compile(r"(\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (.+)")
+    gender_rx = re.compile(r"<\S+,\S+,(\w+)>")
+    ds = KaldiDataset(name=os.path.basename(args.out_dir))
+    with open(args.stm, encoding="utf-8") as f:
+        for i, line in enumerate(l for l in f if l.strip() and not l.startswith(";;")):
+            m = rx.match(line.strip())
+            if not m:
+                continue
+            fname, _chan, spk, start, end, flags, text = m.groups()
+            fname = fname.replace("_", "-")
+            gm = gender_rx.search(flags)
+            gender = {"female": "f", "male": "m"}.get(gm.group(1).lower()) if gm else None
+            rid = f"{args.prefix or ''}{fname}-seg_{i:04d}"
+            ds.append(
+                KaldiDatasetRow(
+                    id=rid, audio_id=fname,
+                    audio_path=os.path.join(args.audio_root, fname + ".wav"),
+                    start=float(start), end=float(end), text=text,
+                    speaker=f"{args.prefix or ''}{spk}", gender=gender,
+                )
+            )
+    ds.save(args.out_dir)
+    print(f"{args.out_dir}: {len(ds)} utts")
+
+
+def cmd_vtt(args):
+    """Folder of WebVTT subtitle files + folder of audio with matching stems
+    (reference tools/kaldi/vtt2kaldi_masc.py). Segments past the end of the
+    audio are dropped."""
+    from ssak_tpu.audio import get_audio_duration
+    from ssak_tpu.data.kaldi_dataset import KaldiDataset, KaldiDatasetRow
+    from ssak_tpu.formats import to_transcription
+
+    exts = (".wav", ".mp3", ".ogg", ".flac")
+    vtts = {}
+    for fn in sorted(os.listdir(args.vtt_folder)):
+        if fn.endswith(".vtt"):
+            vtts[os.path.splitext(fn)[0]] = os.path.join(args.vtt_folder, fn)
+    ds = KaldiDataset(name=os.path.basename(args.out_dir))
+    n_files = 0
+    for fn in sorted(os.listdir(args.audio_folder)):
+        stem, ext = os.path.splitext(fn)
+        if ext.lower() not in exts:
+            continue
+        vtt = vtts.get(stem) or next((p for s, p in vtts.items() if s.startswith(stem) or stem.startswith(s)), None)
+        if vtt is None:
+            print(f"warning: no VTT for {fn}")
+            continue
+        audio_path = os.path.realpath(os.path.join(args.audio_folder, fn))
+        audio_dur = get_audio_duration(audio_path)
+        tr = to_transcription(vtt, format="vtt")
+        n_files += 1
+        for n, seg in enumerate(tr["segments"]):
+            text = seg["segment"].replace("‎", "").strip()
+            if text and seg["end"] > seg["start"] and seg["start"] < audio_dur:
+                ds.append(
+                    KaldiDatasetRow(
+                        id=f"{args.prefix or ''}{stem}-seg{n:04d}", audio_id=stem,
+                        audio_path=audio_path, start=seg["start"], end=min(seg["end"], audio_dur),
+                        text=text, speaker=f"{args.prefix or ''}{stem}-seg{n:04d}",
+                    )
+                )
+    ds.save(args.out_dir)
+    print(f"{args.out_dir}: {len(ds)} utts from {n_files} audio files")
+
+
 def main(argv=None):
     from ssak_tpu.utils.env import apply_platform_env
 
@@ -105,6 +182,16 @@ def main(argv=None):
     s.add_argument("audio"); s.add_argument("trs"); s.add_argument("out_dir")
     s.add_argument("--anonymize", action="store_true")
     s.set_defaults(fn=cmd_trs)
+
+    s = sub.add_parser("stm")
+    s.add_argument("stm"); s.add_argument("audio_root"); s.add_argument("out_dir")
+    s.add_argument("--prefix", default=None)
+    s.set_defaults(fn=cmd_stm)
+
+    s = sub.add_parser("vtt")
+    s.add_argument("vtt_folder"); s.add_argument("audio_folder"); s.add_argument("out_dir")
+    s.add_argument("--prefix", default=None)
+    s.set_defaults(fn=cmd_vtt)
 
     s = sub.add_parser("tsv")
     s.add_argument("tsv"); s.add_argument("audio_root"); s.add_argument("out_dir")
