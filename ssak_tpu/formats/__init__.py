@@ -1,4 +1,5 @@
 from ssak_tpu.formats.diarization import import_rttm, json2rttm, to_diarization
+from ssak_tpu.formats.voicelab import augment_database, kaldi_to_voicelab, voicelab_to_kaldi
 from ssak_tpu.formats.transcription import (
     SpeechSegment,
     TranscriptionResult,
@@ -18,4 +19,7 @@ __all__ = [
     "import_rttm",
     "to_diarization",
     "json2rttm",
+    "kaldi_to_voicelab",
+    "voicelab_to_kaldi",
+    "augment_database",
 ]

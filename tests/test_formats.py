@@ -2,6 +2,7 @@
 stub HTTP server (no network)."""
 
 import json
+import os
 import threading
 
 import pytest
@@ -167,3 +168,104 @@ class TestRemoteClient:
         cfg = build_transcription_config(language="fr", diarization=True, n_speakers=2)
         assert cfg["diarizationConfig"]["enableDiarization"] is True
         assert cfg["diarizationConfig"]["numberOfSpeaker"] == 2
+
+
+class TestVoiceLab:
+    """Round-trip of the LeVoiceLab exchange format (reference
+    tools/LeVoiceLab/kaldi_to_voicelab.py / voicelab_to_kaldi.py)."""
+
+    def _mk_kaldi(self, tmp_path):
+        import numpy as np
+
+        from ssak_tpu.audio import save_audio
+        from ssak_tpu.data.kaldi_dataset import KaldiDataset, KaldiDatasetRow
+
+        wav = tmp_path / "rec one.wav"
+        sr = 16000
+        t = np.arange(sr * 3) / sr
+        save_audio(str(wav), (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+        rows = [
+            KaldiDatasetRow(id="u1", audio_id="rec", audio_path=str(wav), start=0.1, end=0.9,
+                            text="bonjour madame", speaker="Alice_Dupont", gender="f"),
+            # overlapping the first -> must be clipped at the midpoint
+            KaldiDatasetRow(id="u2", audio_id="rec", audio_path=str(wav), start=0.7, end=1.8,
+                            text="merci bien", speaker="Bob_Martin", gender="m"),
+        ]
+        d = tmp_path / "kd"
+        KaldiDataset(rows).save(str(d))
+        return str(d)
+
+    def test_export_import_roundtrip(self, tmp_path):
+        import json
+
+        from ssak_tpu.formats.voicelab import kaldi_to_voicelab, voicelab_to_kaldi
+
+        kd = self._mk_kaldi(tmp_path)
+        db = str(tmp_path / "db")
+        kaldi_to_voicelab(kd, db, name="TestCorpus")
+
+        meta = json.load(open(os.path.join(db, "meta.json")))
+        assert meta["num_audio_files"] == 1
+        assert meta["sample_rate"] == 16000
+        assert meta["extra"]["num_speakers"] == 2
+        assert meta["extra"]["gender"] == {"female": 1, "male": 1}
+        audio_files = [f for f in os.listdir(db) if f.endswith(".audio.wav")]
+        assert len(audio_files) == 1
+
+        annotdirs = [d for d in os.listdir(db) if os.path.isdir(os.path.join(db, d))]
+        assert len(annotdirs) == 1
+        annots = [f for f in os.listdir(os.path.join(db, annotdirs[0])) if f.endswith(".annotations.json")]
+        a = json.load(open(os.path.join(db, annotdirs[0], annots[0])))
+        ts = a["transcripts"]
+        assert len(ts) == 2
+        # overlap clipped at midpoint of [0.7, 0.9] = 0.8
+        assert ts[0]["timestamp_end_milliseconds"] == 800
+        assert ts[1]["timestamp_start_milliseconds"] == 800
+        assert ts[0]["speaker"] == "Alice_Dupont"
+
+        out_kd = str(tmp_path / "kd2")
+        voicelab_to_kaldi(db, out_kd)
+        text = {l.split()[0]: " ".join(l.split()[1:]) for l in open(os.path.join(out_kd, "text"))}
+        assert sorted(text.values()) == ["bonjour madame", "merci bien"]
+        segs = [l.split() for l in open(os.path.join(out_kd, "segments"))]
+        assert len(segs) == 2
+        u2s = dict(l.split() for l in open(os.path.join(out_kd, "utt2spk")))
+        assert "alicedupont" in set(u2s.values())
+
+    def test_augment_database(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from ssak_tpu.audio import load_audio
+        from ssak_tpu.formats.voicelab import augment_database, kaldi_to_voicelab
+
+        kd = self._mk_kaldi(tmp_path)
+        db = str(tmp_path / "db")
+        kaldi_to_voicelab(kd, db, name="TestCorpus")
+        out = str(tmp_path / "db_aug")
+        augment_database(db, out, seed=1)
+        meta = json.load(open(os.path.join(out, "meta.json")))
+        assert meta["contains_augmented_speech"] is True
+        orig_wav = next(f for f in os.listdir(db) if f.endswith(".audio.wav"))
+        a0 = load_audio(os.path.join(db, orig_wav))
+        a1 = load_audio(os.path.join(out, orig_wav))
+        assert len(a0) == len(a1)  # timestamps stay valid
+        assert not np.allclose(a0, a1)
+        # annotations copied verbatim
+        annotdir = next(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+        assert any(f.endswith(".annotations.json") for f in os.listdir(os.path.join(out, annotdir)))
+
+    def test_voicelab_cli(self, tmp_path):
+        import subprocess
+        import sys
+
+        kd = self._mk_kaldi(tmp_path)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "/root/repo/tools/voicelab.py", "export", kd, str(tmp_path / "dbc")],
+                           capture_output=True, text=True, env=env, cwd=str(tmp_path), timeout=300)
+        assert r.returncode == 0, r.stderr[-1500:]
+        r = subprocess.run([sys.executable, "/root/repo/tools/voicelab.py", "import", str(tmp_path / "dbc"), str(tmp_path / "kdc")],
+                           capture_output=True, text=True, env=env, cwd=str(tmp_path), timeout=300)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert os.path.exists(tmp_path / "kdc" / "wav.scp")
