@@ -7,10 +7,12 @@ from ssak_tpu.formats.transcription import (
     remove_hallucinations,
     shorten_transcription,
     to_transcription,
+    transcription_to,
 )
 
 __all__ = [
     "to_transcription",
+    "transcription_to",
     "TranscriptionResult",
     "SpeechSegment",
     "Word",

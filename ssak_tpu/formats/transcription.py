@@ -270,10 +270,72 @@ def _from_srt(content: str) -> TranscriptionResult:
         start = int(m.group(1)) * 3600 + int(m.group(2)) * 60 + int(m.group(3)) + float("0." + m.group(4))
         end = int(m.group(5)) * 3600 + int(m.group(6)) * 60 + int(m.group(7)) + float("0." + m.group(8))
         text = " ".join(lines[ti + 1:]).strip()
-        text = re.sub(r"<[^>]+>", "", text)
+        text = re.sub(r"\s+", " ", re.sub(r"<[^>]+>", "", text)).strip()
         if text:
             r.segments.append(SpeechSegment(start=start, end=end, raw_segment=text, segment=text))
     return r
+
+
+def _fmt_ts(seconds: float, sep: str = ",") -> str:
+    h, rem = divmod(max(0.0, seconds), 3600)
+    m, s = divmod(rem, 60)
+    return f"{int(h):02d}:{int(m):02d}:{int(s):02d}{sep}{int(round((s % 1) * 1000)):03d}"
+
+
+def transcription_to(transcription: dict, fmt: str) -> str:
+    """Serialize a canonical transcription dict to text / srt / vtt / csv /
+    textgrid (the write direction of to_transcription)."""
+    segs = transcription.get("segments", [])
+
+    def seg_fields(s):
+        return (
+            s.get("start", s.get("stime", 0.0)) or 0.0,
+            s.get("end", s.get("etime", 0.0)) or 0.0,
+            (s.get("segment") or s.get("text") or s.get("raw_segment") or "").strip(),
+        )
+
+    if fmt in ("text", "txt"):
+        body = "\n".join(seg_fields(s)[2] for s in segs if seg_fields(s)[2])
+        return body or (transcription.get("transcription_result") or transcription.get("text") or "")
+    if fmt == "srt":
+        blocks = []
+        for i, s in enumerate(segs):
+            start, end, text = seg_fields(s)
+            blocks.append(f"{i + 1}\n{_fmt_ts(start)} --> {_fmt_ts(end)}\n{text}")
+        return "\n\n".join(blocks)
+    if fmt == "vtt":
+        blocks = ["WEBVTT"]
+        for s in segs:
+            start, end, text = seg_fields(s)
+            blocks.append(f"{_fmt_ts(start, '.')} --> {_fmt_ts(end, '.')}\n{text}")
+        return "\n\n".join(blocks)
+    if fmt == "csv":
+        lines = ["text,start,end,speaker"]
+        for s in segs:
+            start, end, text = seg_fields(s)
+            spk = s.get("spk_id") or s.get("speaker") or ""
+            text = '"' + text.replace('"', '""') + '"'
+            lines.append(f"{text},{start:.3f},{end:.3f},{spk}")
+        return "\n".join(lines)
+    if fmt == "textgrid":
+        xmax = max((seg_fields(s)[1] for s in segs), default=0.0)
+        lines = [
+            'File type = "ooTextFile"', 'Object class = "TextGrid"', "",
+            "xmin = 0", f"xmax = {xmax:.3f}", "tiers? <exists>", "size = 1",
+            "item []:", "    item [1]:", '        class = "IntervalTier"',
+            '        name = "transcription"', "        xmin = 0",
+            f"        xmax = {xmax:.3f}", f"        intervals: size = {len(segs)}",
+        ]
+        for i, s in enumerate(segs):
+            start, end, text = seg_fields(s)
+            lines += [
+                f"        intervals [{i + 1}]:",
+                f"            xmin = {start:.3f}",
+                f"            xmax = {end:.3f}",
+                f'            text = "{text}"',
+            ]
+        return "\n".join(lines)
+    raise ValueError(f"unknown serialization format: {fmt}")
 
 
 def shorten_transcription(transcription: dict, max_len: int = 500) -> dict:
