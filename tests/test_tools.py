@@ -61,3 +61,90 @@ def test_get_word_positions(reference_data_dir, tmp_path):
     parts = lines[0].split()
     assert len(parts) == 5
     float(parts[2]); float(parts[3]); float(parts[4])
+
+
+class TestManifestPipeline:
+    """NeMo-style manifest pipeline subcommands (reference tools/nemo/)."""
+
+    def _manifest(self, tmp_path, n=12):
+        import json
+
+        rows = []
+        for i in range(n):
+            rows.append({"audio_filepath": f"a{i}.wav", "duration": 1.0,
+                         "text": f"phrase numero {i}", "utt_id": f"u{i}",
+                         "speaker": f"spk{i % 4}"})
+        path = tmp_path / "m.jsonl"
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        return str(path)
+
+    def test_tokenizer_bpe_and_char(self, tmp_path):
+        import json
+
+        m = self._manifest(tmp_path)
+        out = run_tool(["/root/repo/tools/kaldi2manifest.py", "tokenizer", str(tmp_path / "tk"),
+                        "--manifest", m, "--vocab_size", "60"], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-1500:]
+        info = json.loads(out.stdout.strip().splitlines()[-1])
+        assert info["type"] == "bpe" and info["vocab_size"] <= 60
+        assert (tmp_path / "tk" / "tokenizer.json").exists()
+
+        out = run_tool(["/root/repo/tools/kaldi2manifest.py", "tokenizer", str(tmp_path / "tkc"),
+                        "--manifest", m, "--type", "char"], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-1500:]
+        assert (tmp_path / "tkc" / "vocab.json").exists()
+
+    def test_split_speaker_disjoint(self, tmp_path):
+        import json
+
+        m = self._manifest(tmp_path)
+        out = run_tool(["/root/repo/tools/kaldi2manifest.py", "split", m, str(tmp_path / "sp"),
+                        "--ratios", "0.5", "0.25", "0.25"], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-1500:]
+        parts = {}
+        for name in ("train", "validation", "test"):
+            f = tmp_path / "sp" / f"{name}.jsonl"
+            if f.exists():
+                parts[name] = [json.loads(l) for l in f.read_text().splitlines()]
+        total = sum(len(v) for v in parts.values())
+        assert total == 12
+        spk_sets = [set(r["speaker"] for r in v) for v in parts.values()]
+        for i in range(len(spk_sets)):
+            for j in range(i + 1, len(spk_sets)):
+                assert not (spk_sets[i] & spk_sets[j])
+
+    def test_clean(self, tmp_path):
+        import json
+
+        m = tmp_path / "m.jsonl"
+        m.write_text(json.dumps({"text": "Il y a 3 chats.", "utt_id": "u0"}) + "\n")
+        out = run_tool(["/root/repo/tools/kaldi2manifest.py", "clean", str(m), str(tmp_path / "c.jsonl"),
+                        "--language", "fr"], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-1500:]
+        cleaned = json.loads((tmp_path / "c.jsonl").read_text())
+        assert "trois" in cleaned["text"]
+        assert "3" not in cleaned["text"]
+
+    def test_listfiles(self, tmp_path):
+        root = tmp_path / "corpora"
+        (root / "CorpusA" / "nocasepunc").mkdir(parents=True)
+        (root / "CorpusA" / "nocasepunc" / "wav.scp").write_text("x y\n")
+        (root / "CorpusB_test").mkdir(parents=True)
+        (root / "CorpusB_test" / "wav.scp").write_text("x y\n")
+        (root / "CorpusC" / "nocasepunc" / "split1").mkdir(parents=True)
+        (root / "CorpusC" / "nocasepunc" / "split1" / "wav.scp").write_text("x y\n")
+        lst = tmp_path / "list.txt"
+        lst.write_text("CorpusA\nCorpusB_test\nCorpusC\nMissing\n")
+        out = run_tool(["/root/repo/tools/kaldi2manifest.py", "listfiles", str(lst), str(root),
+                        str(tmp_path / "train.lst"), "--mode", "train", "--subset", "nocasepunc"],
+                       cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-1500:]
+        lines = (tmp_path / "train.lst").read_text().splitlines()
+        assert any(l.endswith("CorpusA/nocasepunc") for l in lines)
+        assert any(l.endswith("split1") for l in lines)
+        assert not any("CorpusB_test" in l for l in lines)
+        out = run_tool(["/root/repo/tools/kaldi2manifest.py", "listfiles", str(lst), str(root),
+                        str(tmp_path / "test.lst"), "--mode", "test", "--subset", "nocasepunc"],
+                       cwd=str(tmp_path))
+        assert out.returncode == 0
+        assert "CorpusB_test" in (tmp_path / "test.lst").read_text()
