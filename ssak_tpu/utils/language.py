@@ -89,3 +89,30 @@ def is_hate_speech(text: str, language: str = "fr") -> bool:
     words = set(re.findall(r"[\wà-ÿ]+", text.lower()))
     table = _OFFENSIVE_FR if language.startswith("fr") else _OFFENSIVE_EN
     return len(words & table) > 0
+
+
+def translate_language(text, dest: str, src: str = None, endpoint: str = None, timeout: float = 30.0):
+    """Translate text via an HTTP translation service (reference
+    translate_language:99 wraps googletrans). The endpoint must be a
+    LibreTranslate-compatible POST /translate URL (or set
+    SSAK_TRANSLATE_ENDPOINT); offline environments get a clear error
+    instead of a silent fallback."""
+    import json
+    import os
+    import urllib.request
+
+    if isinstance(text, str):
+        return translate_language([text], dest=dest, src=src, endpoint=endpoint, timeout=timeout)[0]
+    endpoint = endpoint or os.environ.get("SSAK_TRANSLATE_ENDPOINT")
+    if not endpoint:
+        raise RuntimeError(
+            "translate_language needs a translation service: pass endpoint= or "
+            "set SSAK_TRANSLATE_ENDPOINT to a LibreTranslate-compatible URL"
+        )
+    out = []
+    for t in text:
+        body = json.dumps({"q": t, "source": src or "auto", "target": dest, "format": "text"}).encode()
+        req = urllib.request.Request(endpoint, data=body, headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            out.append(json.loads(resp.read().decode())["translatedText"])
+    return out

@@ -102,3 +102,142 @@ class TestTarredDataset:
         ids1 = [r["id"] for _x, _l, rs in iterate_tarred_dataset(out, 2, process_index=1, process_count=2) for r in rs if r]
         assert not (set(ids0) & set(ids1))
         assert len(ids0) + len(ids1) == 8
+
+
+class TestDocExtraction:
+    """Stdlib-only office-document text extraction (reference
+    tools/scraping/scrape_docs.py doc2text:31)."""
+
+    def _mk_docx(self, path):
+        import zipfile
+
+        doc = (
+            '<?xml version="1.0"?>'
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+            "<w:body><w:p><w:r><w:t>Bonjour tout le monde.</w:t></w:r></w:p>"
+            "<w:p><w:r><w:t>Deuxième </w:t></w:r><w:r><w:t>paragraphe.</w:t></w:r></w:p>"
+            "</w:body></w:document>"
+        )
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("word/document.xml", doc)
+
+    def _mk_odt(self, path):
+        import zipfile
+
+        content = (
+            '<?xml version="1.0"?>'
+            '<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+            "<office:body><office:text><text:p>Un texte ODT.</text:p>"
+            "<text:h>Titre</text:h></office:text></office:body></office:document-content>"
+        )
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("content.xml", content)
+
+    def _mk_xlsx(self, path):
+        import zipfile
+
+        shared = (
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<si><t>cellule</t></si></sst>"
+        )
+        sheet = (
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row></sheetData></worksheet>'
+        )
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("xl/sharedStrings.xml", shared)
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    def _mk_pdf(self, path):
+        import zlib
+
+        content = b"BT /F1 12 Tf (Hello PDF world) Tj ET"
+        compressed = zlib.compress(content)
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(compressed)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + compressed + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        with open(path, "wb") as f:
+            f.write(pdf)
+
+    def test_docx(self, tmp_path):
+        from ssak_tpu.utils.docs import doc2text
+
+        p = tmp_path / "a.docx"
+        self._mk_docx(str(p))
+        text = doc2text(str(p))
+        assert "Bonjour tout le monde." in text
+        assert "Deuxième paragraphe." in text
+
+    def test_odt(self, tmp_path):
+        from ssak_tpu.utils.docs import doc2text
+
+        p = tmp_path / "a.odt"
+        self._mk_odt(str(p))
+        assert doc2text(str(p)) == "Un texte ODT.\nTitre"
+
+    def test_xlsx(self, tmp_path):
+        from ssak_tpu.utils.docs import doc2text
+
+        p = tmp_path / "a.xlsx"
+        self._mk_xlsx(str(p))
+        assert doc2text(str(p)) == "cellule\t42"
+
+    def test_pdf(self, tmp_path):
+        from ssak_tpu.utils.docs import doc2text
+
+        p = tmp_path / "a.pdf"
+        self._mk_pdf(str(p))
+        assert "Hello PDF world" in doc2text(str(p))
+
+    def test_scrape_docs_cli(self, tmp_path):
+        import subprocess
+        import sys
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        self._mk_docx(str(d / "a.docx"))
+        self._mk_odt(str(d / "b.odt"))
+        r = subprocess.run([sys.executable, "/root/repo/tools/scrape_docs.py", str(d),
+                            "--output_dir", str(tmp_path / "txt")],
+                           capture_output=True, text=True, cwd=str(tmp_path), timeout=300)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert sorted(os.listdir(tmp_path / "txt")) == ["a.txt", "b.txt"]
+
+
+class TestClusterFiles:
+    def test_touch_and_corrupt(self, tmp_path):
+        import subprocess
+        import sys
+
+        d = tmp_path / "data"
+        d.mkdir()
+        (d / "x.txt").write_text("hello")
+        r = subprocess.run([sys.executable, "/root/repo/tools/cluster_files.py", "touch", str(d)],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0 and "touched 1 files" in r.stdout
+
+        src = d / "tone.bin"
+        src.write_bytes(bytes(range(256)) * 8)
+        dst = tmp_path / "corrupted.bin"
+        r = subprocess.run([sys.executable, "/root/repo/tools/cluster_files.py", "corrupt",
+                            str(src), str(dst), "--bits", "3", "--seed", "7"],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr[-800:]
+        a, b = src.read_bytes(), dst.read_bytes()
+        assert len(a) == len(b) and a != b
+        assert a[:128] == b[:128]  # header preserved
+        diff_bits = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        assert diff_bits == 3
+
+
+class TestTranslateGate:
+    def test_offline_raises(self, monkeypatch):
+        import pytest as _pytest
+
+        from ssak_tpu.utils.language import translate_language
+
+        monkeypatch.delenv("SSAK_TRANSLATE_ENDPOINT", raising=False)
+        with _pytest.raises(RuntimeError, match="translation service"):
+            translate_language("bonjour", dest="en")
