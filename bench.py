@@ -60,7 +60,7 @@ def bench_jax():
     }
 
     def loss_fn(p, batch):
-        lp, fl = wav2vec2.ctc_log_probs(p, batch["audio"], cfg, batch["audio_lengths"])
+        lp, fl = wav2vec2.ctc_log_probs(p, batch["audio"], cfg, batch["audio_lengths"], freeze_feature_encoder=True)
         return ctc_loss(lp, fl, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
 
     @partial(jax.jit, donate_argnums=(0,))

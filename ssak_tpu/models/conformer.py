@@ -198,4 +198,4 @@ def ctc_log_probs(params, waveform, cfg: ConformerConfig, sample_lengths=None):
         jnp.minimum(sample_lengths // HOP_LENGTH, mel.shape[-1]) if sample_lengths is not None else None
     )
     logits, lengths = ctc_logits_from_mel(params, mel, cfg, frame_lengths)
-    return jax.nn.log_softmax(logits, axis=-1), lengths
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), lengths

@@ -18,41 +18,53 @@ import numpy as np
 
 
 def layer_norm(x, params, eps: float = 1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
-    return y * params["scale"] + params["bias"]
+    """Statistics and affine in float32, output in the input dtype — the
+    residual stream stays bf16 (half the HBM traffic) without bf16 LN
+    statistics."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(x.dtype)
 
 
 def group_norm(x, params, num_groups: int, eps: float = 1e-5):
     """x: (B, T, C). GroupNorm with torch semantics: statistics are taken
-    over each channel group AND the time axis (all non-batch dims)."""
+    over each channel group AND the time axis (all non-batch dims).
+    Float32 statistics, output in the input dtype."""
     B, T, C = x.shape
-    g = x.reshape(B, T, num_groups, C // num_groups)
+    g = x.reshape(B, T, num_groups, C // num_groups).astype(jnp.float32)
     mu = jnp.mean(g, axis=(1, 3), keepdims=True)
     var = jnp.var(g, axis=(1, 3), keepdims=True)
     g = (g - mu) * jax.lax.rsqrt(var + eps)
-    return g.reshape(x.shape) * params["scale"] + params["bias"]
+    return (g.reshape(x.shape) * params["scale"] + params["bias"]).astype(x.dtype)
 
 
 def dense(x, params, dtype=None):
     """Linear layer; transparently applies a LoRA adapter when the param
     dict carries lora_A/lora_B (y += scale * (x @ A) @ B) — the PEFT-path
     capability of reference whisper_train.py:374-407 without a separate
-    module system."""
+    module system.
+
+    When dtype is given, the matmul runs AND returns in that dtype
+    (f32 MXU accumulation via preferred_element_type); activations between
+    ops stay bf16 — matmul-output round-trips through f32 would double the
+    HBM traffic of every layer. Cast to f32 explicitly at numerically
+    sensitive points (logits before softmax/log_softmax)."""
     w = params["kernel"]
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
-    y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(jnp.float32)
+    out_dtype = x.dtype
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     if "lora_A" in params:
         a = params["lora_A"].astype(x.dtype)
         b = params["lora_B"].astype(x.dtype)
         scale = params.get("lora_scale", 1.0)
-        y = y + scale * jnp.matmul(jnp.matmul(x, a, preferred_element_type=jnp.float32), b, preferred_element_type=jnp.float32).astype(jnp.float32)
+        y = y + scale * jnp.matmul(jnp.matmul(x, a, preferred_element_type=jnp.float32), b, preferred_element_type=jnp.float32)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"]
-    return y
+    return y.astype(out_dtype)
 
 
 def gelu(x):
@@ -88,13 +100,62 @@ def attention(
     (B, H, Tq, Tk), True = attend. Softmax in float32."""
     Dh = q.shape[-1]
     scale = scale if scale is not None else Dh ** -0.5
-    qh = (q * scale).astype(dtype)
+    qh = (q.astype(dtype) * jnp.asarray(scale, dtype))
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k.astype(dtype), preferred_element_type=jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, -1e30)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)  # f32 (matmul accumulation dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype), preferred_element_type=jnp.float32)
-    return out.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def flash_self_attention(q, k, v, lengths=None, scale=None):
+    """Fused TPU self-attention (Pallas flash kernel, custom VJP): never
+    materializes the (B, H, T, T) logits/probs in HBM — the dominant
+    memory traffic of the unfused path at encoder sequence lengths.
+
+    q/k/v: (B, T, H, Dh) bf16. lengths: optional (B,) valid lengths;
+    padding is expressed as flash segment ids (pad tokens form their own
+    segment so valid queries never attend to them). T is padded to a
+    multiple of 128 lanes for the kernel and sliced back."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds, flash_attention
+
+    B, T, H, Dh = q.shape
+    scale = scale if scale is not None else Dh ** -0.5
+    Tp = ((T + 127) // 128) * 128
+    pad = Tp - T
+    if pad:
+        q, k, v = (jnp.pad(a, ((0, 0), (0, pad), (0, 0), (0, 0))) for a in (q, k, v))
+    if lengths is None and pad == 0:
+        seg = None  # full attention, no mask work in the kernel
+    else:
+        if lengths is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        valid = (jnp.arange(Tp)[None, :] < lengths[:, None]).astype(jnp.int32)
+        seg = SegmentIds(q=valid, kv=valid)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        segment_ids=seg, sm_scale=scale, causal=False,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :T]
+
+
+# Pallas flash attention is available (flash_self_attention) but measured
+# SLOWER than XLA's unfused path on TPU v5e at ASR sequence lengths
+# (wav2vec2 T=499 b32: 280 vs 191 ms/step; whisper-base encoder T=1500 b16:
+# 233 vs 113 ms fwd+bwd) — XLA's fused softmax-matmul pipeline wins until
+# the (B,H,T,T) buffers stop fitting. Kept behind this threshold for
+# long-context use; tune via layers.FLASH_MIN_SEQ.
+FLASH_MIN_SEQ = 4096
+
+
+def _can_flash(q, dtype):
+    return (
+        jax.default_backend() == "tpu"
+        and dtype == jnp.bfloat16
+        and q.shape[-1] in (64, 128, 256)
+        and q.shape[1] >= FLASH_MIN_SEQ
+    )
 
 
 def mha(
@@ -104,6 +165,7 @@ def mha(
     cache=None,
     cache_index=None,
     dtype=jnp.bfloat16,
+    lengths=None,
 ):
     """Multi-head attention with optional cross-attention inputs and KV cache.
 
@@ -119,10 +181,16 @@ def mha(
     new_cache = None
     if cache is not None:
         if cache_index is not None:
-            k = jax.lax.dynamic_update_slice(cache["k"], k, (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v, (0, cache_index, 0, 0))
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
         new_cache = {"k": k, "v": v}
-    y = attention(q, k, v, mask=mask, dtype=dtype)
+    # full-sequence self-attention with only a padding mask -> fused kernel
+    if cache is None and kv_x is None and mask is None and _can_flash(q, dtype):
+        y = flash_self_attention(q, k, v, lengths=lengths)
+    else:
+        if mask is None and lengths is not None:
+            mask = (jnp.arange(k.shape[1])[None, :] < lengths[:, None])[:, None, None, :]
+        y = attention(q, k, v, mask=mask, dtype=dtype)
     return dense(merge_heads(y), params["out"], dtype), new_cache
 
 
@@ -151,9 +219,9 @@ def conv1d(x, params, stride: int = 1, padding="SAME", groups: int = 1, dtype=jn
         padding=padding if isinstance(padding, str) else [padding],
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
-    ).astype(jnp.float32)
+    )
     if "bias" in params and params["bias"] is not None:
-        y = y + params["bias"]
+        y = y + params["bias"].astype(y.dtype)
     return y
 
 

@@ -124,15 +124,23 @@ def feature_extractor(params, waveform, cfg: Wav2Vec2Config):
     return x
 
 
-def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
+def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False):
     """waveform: (B, T) float32 -> (hidden (B, F, D), frame_lengths (B,)).
 
     time_mask: optional bool (B, F) — masked frames are zeroed after the
     feature projection (wav2vec2 mask_time_prob-style SpecAugment,
     HF Wav2Vec2Config.mask_time_prob / reference yaml TimeDomainSpecAugment
-    capability)."""
+    capability).
+
+    freeze_feature_encoder=True puts a stop_gradient after the conv stack
+    (HF freeze_feature_encoder / reference wav2vec_train.py:313-329
+    semantics): XLA then never materializes the expensive long-sequence
+    conv VJPs — ~25% of the fine-tune step FLOPs — instead of computing
+    them and zeroing the grads afterwards."""
     dt = cfg.compute_dtype
     feats = feature_extractor(params, waveform, cfg)
+    if freeze_feature_encoder:
+        feats = jax.lax.stop_gradient(feats)
     fp = params["feature_projection"]
     x = L.dense(L.layer_norm(feats, fp["layer_norm"]), fp["projection"], dt)
     if time_mask is not None:
@@ -153,30 +161,31 @@ def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
         pos = pos[:, :-1]
     x = x + L.gelu(pos)
 
-    attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, F)
+    # lengths-only padding mask: lets mha pick the fused flash kernel on TPU
+    # (and synthesize the boolean mask itself on other backends)
     blocks = params["encoder"]["blocks"]
     if cfg.do_stable_layer_norm:
         for blk in blocks:
-            h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.num_heads, mask=attn_mask, dtype=dt)
+            h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = x + h
             x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
     else:
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
         for blk in blocks:
-            h, _ = L.mha(x, blk["attn"], cfg.num_heads, mask=attn_mask, dtype=dt)
+            h, _ = L.mha(x, blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = L.layer_norm(x + h, blk["attn_ln"])
             x = L.layer_norm(x + L.mlp(x, blk["mlp"], dtype=dt), blk["mlp_ln"])
     return x, frame_lengths
 
 
-def ctc_logits(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
+def ctc_logits(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False):
     """Full forward: waveform -> (logits (B, F, V), frame_lengths)."""
-    hidden, frame_lengths = encode(params, waveform, cfg, lengths, time_mask=time_mask)
+    hidden, frame_lengths = encode(params, waveform, cfg, lengths, time_mask=time_mask, freeze_feature_encoder=freeze_feature_encoder)
     logits = L.dense(hidden, params["lm_head"], cfg.compute_dtype)
     return logits, frame_lengths
 
 
-def ctc_log_probs(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None):
-    logits, fl = ctc_logits(params, waveform, cfg, lengths, time_mask=time_mask)
-    return jax.nn.log_softmax(logits, axis=-1), fl
+def ctc_log_probs(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False):
+    logits, fl = ctc_logits(params, waveform, cfg, lengths, time_mask=time_mask, freeze_feature_encoder=freeze_feature_encoder)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), fl

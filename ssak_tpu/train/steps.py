@@ -86,7 +86,11 @@ def make_ctc_train_step(
                 F = wav2vec2.feature_extract_output_length(cfg, T)
                 key = jax.random.fold_in(jax.random.PRNGKey(0), step)
                 time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
-            log_probs, frame_lengths = wav2vec2.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask)
+            # freeze via stop_gradient: the conv-stack VJP (the most expensive
+            # backward in the model at 16 kHz sequence length) is never built
+            log_probs, frame_lengths = wav2vec2.ctc_log_probs(
+                params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask,
+                freeze_feature_encoder=frozen_feature_encoder)
         loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
         return loss
 
