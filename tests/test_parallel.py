@@ -1,0 +1,152 @@
+"""Pipeline (GPipe) and sequence parallelism: parity against the dense
+single-program forward on a virtual CPU mesh (SURVEY.md §2.4 — these are
+strategies the reference lacks; validated here numerically, not just
+compile-checked)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ssak_tpu.models import wav2vec2
+from ssak_tpu.parallel.mesh import make_mesh
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        conv_dim=(16, 16), conv_kernel=(10, 8), conv_stride=(5, 4),
+        hidden_size=32, num_layers=4, num_heads=2, intermediate_size=64,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+        vocab_size=16, dtype="float32",
+    )
+    base.update(kw)
+    return wav2vec2.Wav2Vec2Config(**base)
+
+
+def _mesh_2d(names, shape):
+    devices = np.asarray(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devices, names)
+
+
+@pytest.mark.parametrize("stable_ln", [False, True])
+def test_gpipe_ctc_forward_parity(stable_ln):
+    from ssak_tpu.parallel.pipeline import ctc_log_probs_gpipe, shard_pp_params, stack_wav2vec2_params
+
+    cfg = _tiny_cfg(do_stable_layer_norm=stable_ln)
+    params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 8, 1600
+    audio = jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([T, T, 1200, 800, T, 1000, 600, T], jnp.int32)
+
+    ref_lp, ref_fl = wav2vec2.ctc_log_probs(params, audio, cfg, lengths)
+
+    mesh = _mesh_2d(("data", "pipe"), (2, 4))
+    pp = shard_pp_params(stack_wav2vec2_params(params), mesh)
+    with mesh:
+        lp, fl = jax.jit(
+            lambda p, a, l: ctc_log_probs_gpipe(p, a, cfg, mesh, lengths=l, n_microbatches=2)
+        )(pp, audio, lengths)
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(ref_fl))
+    # only frames within frame_lengths are meaningful
+    mask = np.arange(lp.shape[1])[None, :] < np.asarray(fl)[:, None]
+    diff = np.abs(np.asarray(lp) - np.asarray(ref_lp))[mask]
+    assert diff.max() < 2e-4, diff.max()
+
+
+def test_gpipe_ctc_grads_match_dense():
+    from ssak_tpu.ops.ctc import ctc_loss as ctc_loss_scan
+    from ssak_tpu.parallel.pipeline import ctc_log_probs_gpipe, shard_pp_params, stack_wav2vec2_params
+
+    cfg = _tiny_cfg(num_layers=2)
+    params = wav2vec2.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    B, T, U = 4, 1200, 5
+    batch = {
+        "audio": jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1),
+        "audio_lengths": jnp.asarray([T, 900, T, 700], jnp.int32),
+        "labels": jnp.asarray(rng.randint(1, cfg.vocab_size, (B, U)), jnp.int32),
+        "label_lengths": jnp.asarray([U, 3, U, 2], jnp.int32),
+    }
+
+    def dense_loss(p):
+        lp, fl = wav2vec2.ctc_log_probs(p, batch["audio"], cfg, batch["audio_lengths"])
+        return ctc_loss_scan(lp, fl, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
+
+    ref_loss, ref_grads = jax.value_and_grad(dense_loss)(params)
+
+    mesh = _mesh_2d(("data", "pipe"), (2, 2))
+    pp = shard_pp_params(stack_wav2vec2_params(params), mesh)
+
+    def pp_loss(p):
+        lp, fl = ctc_log_probs_gpipe(p, batch["audio"], cfg, mesh, lengths=batch["audio_lengths"], n_microbatches=2)
+        return ctc_loss_scan(lp, fl, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
+
+    with mesh:
+        loss, grads = jax.jit(jax.value_and_grad(pp_loss))(pp)
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+
+    # stacked block grads vs per-layer dense grads
+    stacked_ref = jax.tree.map(lambda *xs: jnp.stack(xs), *ref_grads["encoder"]["blocks"])
+    flat_ref, _ = jax.tree.flatten(stacked_ref)
+    flat_pp, _ = jax.tree.flatten(grads["encoder"]["blocks"])
+    for a, b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3)
+    # a non-pipelined param too (lm_head)
+    np.testing.assert_allclose(
+        np.asarray(grads["lm_head"]["kernel"]), np.asarray(ref_grads["lm_head"]["kernel"]), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_pp_train_step_runs_and_learns():
+    from ssak_tpu.parallel.pipeline import make_pp_ctc_train_step, shard_pp_params, stack_wav2vec2_params
+    from ssak_tpu.train.steps import init_train_state, make_optimizer
+
+    cfg = _tiny_cfg(num_layers=4, dtype="bfloat16")
+    params = stack_wav2vec2_params(wav2vec2.init_params(jax.random.PRNGKey(2), cfg))
+    mesh = _mesh_2d(("data", "pipe"), (2, 4))
+    opt = make_optimizer(learning_rate=3e-3, warmup_steps=1, total_steps=30)
+    rng = np.random.RandomState(2)
+    B, T, U = 4, 1600, 4
+    batch = {
+        "audio": jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1),
+        "audio_lengths": jnp.full((B,), T, jnp.int32),
+        "labels": jnp.asarray(rng.randint(1, cfg.vocab_size, (B, U)), jnp.int32),
+        "label_lengths": jnp.full((B,), U, jnp.int32),
+    }
+    with mesh:
+        pp = shard_pp_params(params, mesh)
+        state = init_train_state(pp, opt)
+        step = make_pp_ctc_train_step(cfg, opt, mesh, n_microbatches=2)
+        losses = []
+        for _ in range(8):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("stable_ln", [False, True])
+def test_sequence_parallel_encode_parity(stable_ln):
+    from ssak_tpu.parallel.sequence import ctc_log_probs_sp
+
+    cfg = _tiny_cfg(do_stable_layer_norm=stable_ln, num_layers=2)
+    params = wav2vec2.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(3)
+    B, T = 2, 4000
+    audio = jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([T, 2500], jnp.int32)
+
+    ref_lp, ref_fl = wav2vec2.ctc_log_probs(params, audio, cfg, lengths)
+
+    mesh = _mesh_2d(("data", "seq"), (2, 4))
+    with mesh:
+        lp, fl = jax.jit(
+            lambda p, a, l: ctc_log_probs_sp(p, a, cfg, mesh, lengths=l, seq_axis="seq", data_axis="data")
+        )(params, audio, lengths)
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(ref_fl))
+    mask = np.arange(ref_lp.shape[1])[None, :] < np.asarray(fl)[:, None]
+    diff = np.abs(np.asarray(lp)[:, : ref_lp.shape[1]] - np.asarray(ref_lp))[mask]
+    assert diff.max() < 2e-4, diff.max()
