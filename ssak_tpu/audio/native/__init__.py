@@ -63,5 +63,32 @@ def get_native_lib(auto_build: bool = True):
         ]
         lib.ssak_av_duration.restype = ctypes.c_double
         lib.ssak_av_duration.argtypes = [ctypes.c_char_p]
+    if hasattr(lib, "ssak_scan_durations"):
+        lib.ssak_scan_durations.restype = None
+        lib.ssak_scan_durations.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
     _LIB = lib
     return _LIB
+
+
+def scan_durations(paths, n_threads: int = 8):
+    """Parallel header-only duration scan (WAV/FLAC) in C++; returns a list
+    of seconds with None for files the native scanner cannot parse (caller
+    falls back). None for all if the library is unavailable.
+
+    Native counterpart of the reference's Kaldi `wav-to-duration` binary
+    run under run.pl jobs (tools/kaldi/utils/get_utt2dur.sh:83-111)."""
+    lib = get_native_lib()
+    if lib is None or not hasattr(lib, "ssak_scan_durations"):
+        return [None] * len(paths)
+    n = len(paths)
+    if n == 0:
+        return []
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    out = (ctypes.c_double * n)()
+    lib.ssak_scan_durations(arr, n, n_threads, out)
+    return [d if d >= 0 else None for d in out]

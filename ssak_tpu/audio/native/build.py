@@ -9,8 +9,8 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-SOURCES = ["mp3dec.cpp", "avdec.cpp"]
-LIBS = ["-lavformat", "-lavcodec", "-lavutil"]
+SOURCES = ["mp3dec.cpp", "avdec.cpp", "durations.cpp"]
+LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-pthread"]
 
 
 def build(verbose: bool = False) -> str:

@@ -108,10 +108,24 @@ def compute_durations(wavscp: dict, num_workers: int = 8) -> dict:
     binary run under run.pl, tools/kaldi/utils/get_utt2dur.sh:83-111).
     """
     from ssak_tpu.audio import get_audio_duration
+    from ssak_tpu.audio.native import scan_durations
 
     items = list(wavscp.items())
-    with ThreadPoolExecutor(max_workers=num_workers) as ex:
-        durs = list(ex.map(lambda kv: get_audio_duration(kv[1]), items))
+    # fast path: one C++ thread-pool call parses all plain-file WAV/FLAC
+    # headers; command pipes / mp3 / parse failures fall back per-file
+    plain = [not (isinstance(v, str) and v.rstrip().endswith("|")) for _k, v in items]
+    native = scan_durations([v for (_k, v), p in zip(items, plain) if p], n_threads=num_workers)
+    durs, ni = [None] * len(items), 0
+    for i, p in enumerate(plain):
+        if p:
+            durs[i] = native[ni]
+            ni += 1
+    missing = [i for i, d in enumerate(durs) if d is None]
+    if missing:
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            slow = list(ex.map(lambda i: get_audio_duration(items[i][1]), missing))
+        for i, d in zip(missing, slow):
+            durs[i] = d
     return {k: d for (k, _v), d in zip(items, durs)}
 
 

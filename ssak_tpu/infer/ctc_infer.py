@@ -124,9 +124,10 @@ def ctc_infer(
     model = load_model(model_dir, seeded_test_config=seeded_test_config)
     lm = None
     if lm_path:
-        from ssak_tpu.decode.lm import ArpaLM
+        # C++ scorer when buildable (KenLM-core equivalent), Python fallback
+        from ssak_tpu.decode.native_lm import load_lm
 
-        lm = ArpaLM(lm_path)
+        lm = load_lm(lm_path)
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
     for batch, ids in batches:

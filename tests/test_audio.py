@@ -170,3 +170,40 @@ def test_universal_decoder_mp3_agrees_with_mpg123(reference_data_dir):
     ra = np.sqrt((a[:n] ** 2).mean())
     rb = np.sqrt((b[:n] ** 2).mean())
     assert abs(ra - rb) / max(ra, rb) < 0.05
+
+
+def test_native_duration_scanner(reference_data_dir, tmp_audio_dir):
+    """C++ parallel header scanner (wav-to-duration equivalent) agrees with
+    the Python per-file path on WAV fixtures (incl. pathological 13-bit and
+    stereo); mp3 yields None (fallback marker)."""
+    import glob
+
+    from ssak_tpu.audio import get_audio_duration
+    from ssak_tpu.audio.native import get_native_lib, scan_durations
+
+    if get_native_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    wavs = sorted(glob.glob(os.path.join(reference_data_dir, "audio", "*.wav")))
+    wavs += sorted(glob.glob(os.path.join(tmp_audio_dir, "*.wav")))
+    mp3s = sorted(glob.glob(os.path.join(reference_data_dir, "audio", "*.mp3")))
+    durs = scan_durations(wavs + mp3s, n_threads=4)
+    assert len(durs) == len(wavs) + len(mp3s)
+    for p, d in zip(wavs, durs):
+        assert d is not None and abs(d - get_audio_duration(p)) < 1e-6, p
+    for d in durs[len(wavs):]:
+        assert d is None  # mp3 -> per-file fallback
+
+
+def test_compute_durations_native_fast_path(reference_data_dir):
+    """compute_durations (utt2dur engine) over a real kaldi dir with
+    sox-pipe wav.scp entries mixes the native scan and pipe fallbacks."""
+    from ssak_tpu.data.kaldi import compute_durations, parse_wavscp
+
+    os.environ["DATAPATH"] = reference_data_dir
+    scp = os.path.join(reference_data_dir, "kaldi", "small", "wav.scp")
+    wavscp = parse_wavscp(scp)
+    durs = compute_durations(wavscp)
+    assert len(durs) == len(wavscp)
+    assert all(0.1 < d < 1000 for d in durs.values()), durs
