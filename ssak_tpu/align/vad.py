@@ -19,18 +19,34 @@ def get_vad_segments(
     dilatation: float = 0.1,
     energy_threshold_db: float = -35.0,
     frame_ms: float = 30.0,
+    nn_params=None,
+    nn_threshold: float = 0.5,
 ):
-    """Returns list of {"start": sec, "end": sec} speech segments."""
-    if method != "energy":
-        raise NotImplementedError(f"VAD method {method!r} (energy is built in)")
-    frame = int(sample_rate * frame_ms / 1000)
-    n_frames = max(1, len(audio) // frame)
-    x = audio[: n_frames * frame].reshape(n_frames, frame)
-    rms = np.sqrt((x**2).mean(axis=1) + 1e-12)
-    db = 20 * np.log10(rms + 1e-12)
-    # adaptive floor: threshold relative to loud frames
-    ref = np.percentile(db, 95)
-    active = db > max(ref + energy_threshold_db / 2, energy_threshold_db)
+    """Returns list of {"start": sec, "end": sec} speech segments.
+
+    method: "energy" (auditok-equivalent, built in) or "nn" (trainable
+    neural VAD, ssak_tpu.align.nn_vad — the silero-engine counterpart;
+    pass nn_params from nn_vad.train_nn_vad/load_vad)."""
+    if method == "nn":
+        from ssak_tpu.align import nn_vad
+
+        if nn_params is None:
+            raise ValueError("method='nn' requires nn_params (train_nn_vad/load_vad)")
+        probs = nn_vad.speech_probs(nn_params, audio, sample_rate)
+        active = probs > nn_threshold
+        frame = int(sample_rate * nn_vad.FRAME_MS / 1000)
+        n_frames = len(active)
+    elif method == "energy":
+        frame = int(sample_rate * frame_ms / 1000)
+        n_frames = max(1, len(audio) // frame)
+        x = audio[: n_frames * frame].reshape(n_frames, frame)
+        rms = np.sqrt((x**2).mean(axis=1) + 1e-12)
+        db = 20 * np.log10(rms + 1e-12)
+        # adaptive floor: threshold relative to loud frames
+        ref = np.percentile(db, 95)
+        active = db > max(ref + energy_threshold_db / 2, energy_threshold_db)
+    else:
+        raise NotImplementedError(f"VAD method {method!r} ('energy' or 'nn')")
 
     segs = []
     start = None

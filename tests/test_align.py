@@ -102,3 +102,52 @@ class TestVAD:
         # a timestamp 0.5s into the cropped audio maps into the 1st speech seg
         [back] = convert_timestamps([{"start": 0.5, "end": 0.6}], mapping)
         assert 1.2 < back["start"] < 2.1
+
+
+def test_nn_vad_learns_speech_detection(tmp_path):
+    """Train the neural VAD on synthetic speech-like bursts with explicit
+    labels; it must localize bursts in held-out audio (silero-engine
+    capability, reference vad.py:63-80, as a trainable JAX model)."""
+    import numpy as np
+
+    from ssak_tpu.align.nn_vad import FRAME_MS, load_vad, save_vad, speech_probs, train_nn_vad
+    from ssak_tpu.align.vad import get_vad_segments
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+
+    def make_example(bursts, total=4.0):
+        audio = rng.randn(int(total * sr)).astype(np.float32) * 0.003  # noise floor
+        labels = np.zeros(int(total * 1000 / FRAME_MS), np.float32)
+        for s, e in bursts:
+            t = np.arange(int((e - s) * sr)) / sr
+            # crude "speech": AM-modulated harmonics
+            sig = sum(np.sin(2 * np.pi * f * t) for f in (220, 440, 660))
+            sig = (0.3 * sig * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+            audio[int(s * sr): int(s * sr) + len(sig)] += sig
+            labels[int(s * 1000 / FRAME_MS): int(e * 1000 / FRAME_MS)] = 1.0
+        return audio, labels
+
+    train = [make_example([(0.5, 1.5), (2.5, 3.2)]), make_example([(1.0, 2.0)]),
+             make_example([(0.2, 0.9), (1.8, 3.5)]), make_example([])]
+    params = train_nn_vad([a for a, _ in train], labels=[l for _, l in train], steps=200)
+
+    test_audio, test_labels = make_example([(0.8, 1.8), (2.6, 3.4)])
+    probs = speech_probs(params, test_audio, sr)
+    pred = probs[: len(test_labels)] > 0.5
+    acc = (pred == (test_labels[: len(probs)] > 0.5)).mean()
+    assert acc > 0.85, acc
+
+    segs = get_vad_segments(test_audio, sr, method="nn", nn_params=params)
+    assert 1 <= len(segs) <= 3, segs
+    covered = sum(min(e, seg["end"]) - max(s, seg["start"])
+                  for s, e in [(0.8, 1.8), (2.6, 3.4)] for seg in segs
+                  if min(e, seg["end"]) > max(s, seg["start"]))
+    assert covered > 1.2, (covered, segs)  # of 1.8 s true speech
+
+    # save/load roundtrip
+    p = tmp_path / "vad.npz"
+    save_vad(params, str(p))
+    params2 = load_vad(str(p))
+    probs2 = speech_probs(params2, test_audio, sr)
+    np.testing.assert_allclose(probs, probs2, atol=1e-6)
