@@ -38,6 +38,11 @@ def build_parser():
     p.add_argument("--data_augment_noise", default=None)
     p.add_argument("--data_augment_rir", default=None)
     p.add_argument("--no_freeze_feature_encoder", dest="freeze", action="store_false", default=True)
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "adadelta", "sb_dual"],
+                   help="sb_dual = Adam trunk + Adadelta head (SpeechBrain recipe)")
+    p.add_argument("--schedule", default="linear", choices=["linear", "cosine", "constant", "newbob"],
+                   help="newbob = anneal LR on small relative WER improvement")
+    p.add_argument("--head_lr", type=float, default=1.0, help="head LR for --optimizer sb_dual")
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no-resume", dest="resume", action="store_false")
     return p
@@ -138,6 +143,7 @@ def main(argv=None):
         freeze_feature_encoder=args.freeze, mask_time_prob=args.mask_time_prob,
         augmenter=augmenter, seed=args.seed,
         normalize_text=norm,
+        optimizer=args.optimizer, schedule=args.schedule, head_lr=args.head_lr,
     )
     if args.resume:
         trainer.resume()

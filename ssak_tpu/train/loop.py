@@ -48,6 +48,12 @@ class CTCTrainer:
         buckets=(2.0, 4.0, 8.0, 15.0, 30.0),
         seed: int = 69,
         normalize_text=None,
+        optimizer: str = "adamw",
+        schedule: str = "linear",
+        head_lr: float = 1.0,
+        newbob_improvement_threshold: float = 0.0025,
+        newbob_annealing_factor: float = 0.8,
+        newbob_patient: int = 0,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -64,10 +70,26 @@ class CTCTrainer:
         self.normalize_text = normalize_text or (lambda t: t)
 
         os.makedirs(output_dir, exist_ok=True)
-        self.optimizer = make_optimizer(
-            learning_rate=learning_rate, weight_decay=weight_decay,
-            warmup_steps=warmup_steps, total_steps=total_steps,
-        )
+        # optimizer / schedule matrix covering the reference trainer stacks:
+        # HF Trainer = AdamW + linear warmup (default); SpeechBrain recipe =
+        # dual Adam(trunk)/Adadelta(head) optimizers with NewBob annealing.
+        self.newbob = None
+        if schedule == "newbob":
+            from ssak_tpu.train.steps import NewBob, make_newbob_optimizer
+
+            self.optimizer = make_newbob_optimizer(
+                learning_rate, optimizer=optimizer, weight_decay=weight_decay, head_lr=head_lr)
+            self.newbob = NewBob(learning_rate, improvement_threshold=newbob_improvement_threshold,
+                                 annealing_factor=newbob_annealing_factor, patient=newbob_patient)
+        elif optimizer == "sb_dual":
+            from ssak_tpu.train.steps import make_sb_ctc_optimizer
+
+            self.optimizer = make_sb_ctc_optimizer(pretrained_lr=learning_rate, head_lr=head_lr)
+        else:
+            self.optimizer = make_optimizer(
+                learning_rate=learning_rate, weight_decay=weight_decay,
+                warmup_steps=warmup_steps, total_steps=total_steps, schedule=schedule,
+            )
         self.state = init_train_state(params, self.optimizer)
         self.train_step = make_ctc_train_step(
             cfg, self.optimizer, frozen_feature_encoder=freeze_feature_encoder, mask_time_prob=mask_time_prob
@@ -206,6 +228,12 @@ class CTCTrainer:
                 if eval_rows is not None and self.eval_steps and gstep % self.eval_steps == 0:
                     ev = self.evaluate(eval_rows)
                     ev["step"] = gstep
+                    if self.newbob is not None:
+                        from ssak_tpu.train.steps import set_learning_rate
+
+                        new_lr = self.newbob(ev["eval_wer"])
+                        self.state["opt_state"] = set_learning_rate(self.state["opt_state"], new_lr)
+                        ev["learning_rate"] = new_lr
                     self.log_history.append(ev)
                     logger.info(f"eval {ev}")
                     if ev["eval_wer"] < self.best_wer:

@@ -52,6 +52,122 @@ def make_optimizer(
     return tx
 
 
+def make_newbob_optimizer(
+    learning_rate: float,
+    optimizer: str = "adamw",
+    weight_decay: float = 0.01,
+    rho: float = 0.95,
+    grad_clip: float = 1.0,
+    head_lr: float = 1.0,
+):
+    """Optimizer with a host-settable learning rate for NewBob annealing
+    (SpeechBrain's scheduler: anneal on small relative WER improvement,
+    reference train/speechbrain/wav2vec_train.py NewBob + yaml lr_annealing).
+    The LR lives in opt_state.hyperparams — update it between steps with
+    set_learning_rate(); no recompilation (it is a traced scalar).
+
+    optimizer='sb_dual' reproduces the full SpeechBrain recipe: Adam(lr) on
+    the trunk, Adadelta(head_lr) on the CTC head, BOTH annealed together
+    (the injected lr scales the head LR proportionally)."""
+
+    @optax.inject_hyperparams
+    def _make(lr):
+        if optimizer == "adadelta":
+            inner = optax.adadelta(lr, rho=rho)
+        elif optimizer == "sb_dual":
+            return make_grouped_optimizer(
+                {"pretrained": optax.adam(lr), "head": optax.adadelta(lr * (head_lr / learning_rate), rho=rho)},
+                rules=[(r"/lm_head/", "head")],
+                default="pretrained",
+                grad_clip=grad_clip,
+            )
+        else:
+            inner = optax.adamw(lr, weight_decay=weight_decay)
+        return optax.chain(optax.clip_by_global_norm(grad_clip), inner)
+
+    return _make(learning_rate)
+
+
+def set_learning_rate(opt_state, lr):
+    """New opt_state with the injected learning rate replaced."""
+    hp = dict(opt_state.hyperparams)
+    key = "lr" if "lr" in hp else "learning_rate"
+    hp[key] = jnp.asarray(lr, jnp.asarray(hp[key]).dtype)
+    return opt_state._replace(hyperparams=hp)
+
+
+def get_learning_rate(opt_state) -> float:
+    hp = opt_state.hyperparams
+    return float(hp["lr" if "lr" in hp else "learning_rate"])
+
+
+class NewBob:
+    """SpeechBrain NewBob annealing: when the relative improvement of the
+    tracked metric (WER/loss) falls below improvement_threshold, multiply
+    the LR by annealing_factor (after `patient` tolerated evals)."""
+
+    def __init__(self, initial_lr: float, improvement_threshold: float = 0.0025,
+                 annealing_factor: float = 0.8, patient: int = 0):
+        self.lr = float(initial_lr)
+        self.improvement_threshold = improvement_threshold
+        self.annealing_factor = annealing_factor
+        self.patient = patient
+        self._waited = 0
+        self._prev = None
+
+    def __call__(self, metric: float):
+        """Feed the new eval metric; returns the (possibly annealed) LR."""
+        if self._prev is not None and self._prev != 0:
+            improvement = (self._prev - metric) / abs(self._prev)
+            if improvement < self.improvement_threshold:
+                if self._waited >= self.patient:
+                    self.lr *= self.annealing_factor
+                    self._waited = 0
+                else:
+                    self._waited += 1
+            else:
+                self._waited = 0
+        # NewBob tracks the best metric seen, not the last one
+        self._prev = metric if self._prev is None else min(self._prev, metric)
+        return self.lr
+
+
+def make_grouped_optimizer(optimizers: dict, rules, default: str, grad_clip: float = 1.0):
+    """Per-parameter-group optimizers, the SpeechBrain dual-optimizer
+    capability (reference speechbrain/wav2vec_train.py:95-137: pretrained
+    wav2vec2 under Adam lr 1e-4, DNN head + ctc_lin under Adadelta lr 1.0).
+
+    optimizers: {group_name: optax transform}; rules: [(path_regex,
+    group_name)] matched against /-joined param paths, first match wins;
+    default: group for unmatched params."""
+    import re
+
+    from ssak_tpu.parallel.mesh import _tree_map_with_path
+
+    def labels(params):
+        def lab(path, _leaf):
+            for pattern, name in rules:
+                if re.search(pattern, path):
+                    return name
+            return default
+
+        return _tree_map_with_path(lab, params)
+
+    return optax.chain(optax.clip_by_global_norm(grad_clip), optax.multi_transform(optimizers, labels))
+
+
+def make_sb_ctc_optimizer(pretrained_lr: float = 1e-4, head_lr: float = 1.0,
+                          rho: float = 0.95, grad_clip: float = 1.0):
+    """The reference SpeechBrain recipe's exact pairing for wav2vec2-CTC:
+    Adam on the pretrained trunk, Adadelta on the CTC head."""
+    return make_grouped_optimizer(
+        {"pretrained": optax.adam(pretrained_lr), "head": optax.adadelta(head_lr, rho=rho)},
+        rules=[(r"/lm_head/", "head")],
+        default="pretrained",
+        grad_clip=grad_clip,
+    )
+
+
 def init_train_state(params, optimizer):
     return {"params": params, "opt_state": optimizer.init(params), "step": jnp.zeros((), jnp.int32)}
 

@@ -104,3 +104,92 @@ def test_train_cli_end_to_end(reference_data_dir, tmp_path, monkeypatch):
 
     cks = list_checkpoints(run_dir)
     assert 1 <= len(cks) <= 3
+
+
+def test_newbob_annealing_semantics():
+    """NewBob (SpeechBrain scheduler): anneal on small relative
+    improvement, hold otherwise, patient delays annealing."""
+    from ssak_tpu.train.steps import NewBob
+
+    nb = NewBob(1.0, improvement_threshold=0.0025, annealing_factor=0.5)
+    assert nb(100.0) == 1.0          # first eval: no history, no anneal
+    assert nb(50.0) == 1.0           # big improvement: hold
+    assert nb(49.9) == 0.5           # 0.2% < 0.25%: anneal
+    assert nb(25.0) == 0.5           # improves again vs best: hold
+    assert nb(25.0) == 0.25          # plateau: anneal
+
+    nb2 = NewBob(1.0, improvement_threshold=0.0025, annealing_factor=0.5, patient=1)
+    nb2(100.0)
+    assert nb2(100.0) == 1.0         # first plateau tolerated
+    assert nb2(100.0) == 0.5         # second anneals
+
+
+def test_newbob_optimizer_lr_is_host_settable():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssak_tpu.train.steps import get_learning_rate, make_newbob_optimizer, set_learning_rate
+
+    opt = make_newbob_optimizer(0.1, optimizer="adadelta")
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    assert abs(get_learning_rate(state) - 0.1) < 1e-6
+    g = {"w": jnp.ones((3,))}
+    up1, state = opt.update(g, state, params)
+    state = set_learning_rate(state, 0.05)
+    up2, state = opt.update(g, state, params)
+    # adadelta update magnitude scales with lr
+    r = float(jnp.abs(up2["w"]).mean() / jnp.abs(up1["w"]).mean())
+    assert 0.4 < r < 0.6, r
+    assert abs(get_learning_rate(state) - 0.05) < 1e-6
+
+
+def test_sb_dual_optimizer_groups():
+    """Trunk under Adam(pretrained_lr), lm_head under Adadelta(head_lr) —
+    update scales must differ accordingly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.train.steps import make_sb_ctc_optimizer
+
+    cfg = wav2vec2.make_config("tiny_test")
+    params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_sb_ctc_optimizer(pretrained_lr=1e-4, head_lr=1.0)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    head_mag = float(jnp.abs(updates["lm_head"]["kernel"]).mean())
+    trunk_mag = float(jnp.abs(updates["encoder"]["blocks"][0]["attn"]["query"]["kernel"]).mean())
+    assert head_mag < 1e-2  # adadelta first step: lr * g / sqrt(eps-ish accum) — small but nonzero
+    assert head_mag > 0
+    assert 0.5e-4 < trunk_mag < 2e-4  # adam first step ~ lr
+
+
+def test_trainer_newbob_integration(tmp_path):
+    """CTCTrainer with schedule='newbob' runs, logs learning_rate at eval,
+    and anneals on WER plateau."""
+    import jax
+
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.models.tokenizer import CTCTokenizer
+    from ssak_tpu.train.loop import CTCTrainer
+
+    from ssak_tpu.audio import save_audio
+
+    cfg = wav2vec2.make_config("tiny_test")
+    params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    tok = CTCTokenizer.from_corpus(["bonjour", "oui"])
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.wav")
+        save_audio(p, rng.randn(6400).astype(np.float32) * 0.1, 16000)
+        rows.append({"id": f"u{i}", "text": "oui", "audio": p, "duration": 0.4})
+    tr = CTCTrainer(cfg, params, tok, str(tmp_path / "run"), batch_size=2, eval_steps=2,
+                    total_steps=6, schedule="newbob", learning_rate=1e-3,
+                    newbob_annealing_factor=0.5, early_stopping_patience=0, buckets=(1.0,))
+    hist = tr.train(rows, rows, max_steps=6)
+    lrs = [h["learning_rate"] for h in hist if "learning_rate" in h]
+    assert lrs, hist
+    assert lrs[-1] <= 1e-3
