@@ -34,6 +34,10 @@ class Wav2Vec2Config:
     vocab_size: int = 32
     blank_id: int = 0
     dtype: str = "bfloat16"
+    # Mixture-of-Experts FFN (expert parallelism over an 'expert' mesh
+    # axis — ssak_tpu.parallel.moe). 0 = dense MLP (the HF architecture).
+    num_experts: int = 0
+    moe_top_k: int = 2
 
     @property
     def compute_dtype(self):
@@ -81,19 +85,23 @@ def init_params(key, cfg: Wav2Vec2Config):
     blocks = []
     for i in range(cfg.num_layers):
         kb = jax.random.split(ks[8 + n + i], 6)
-        blocks.append(
-            {
-                "attn": {
-                    "query": L.linear_init(kb[0], D, D),
-                    "key": L.linear_init(kb[1], D, D),
-                    "value": L.linear_init(kb[2], D, D),
-                    "out": L.linear_init(kb[3], D, D),
-                },
-                "attn_ln": L.ln_init(D),
-                "mlp": {"fc1": L.linear_init(kb[4], D, cfg.intermediate_size), "fc2": L.linear_init(kb[5], cfg.intermediate_size, D)},
-                "mlp_ln": L.ln_init(D),
-            }
-        )
+        block = {
+            "attn": {
+                "query": L.linear_init(kb[0], D, D),
+                "key": L.linear_init(kb[1], D, D),
+                "value": L.linear_init(kb[2], D, D),
+                "out": L.linear_init(kb[3], D, D),
+            },
+            "attn_ln": L.ln_init(D),
+            "mlp_ln": L.ln_init(D),
+        }
+        if cfg.num_experts:
+            from ssak_tpu.parallel.moe import moe_init
+
+            block["moe"] = moe_init(kb[4], D, cfg.intermediate_size, cfg.num_experts)
+        else:
+            block["mlp"] = {"fc1": L.linear_init(kb[4], D, cfg.intermediate_size), "fc2": L.linear_init(kb[5], cfg.intermediate_size, D)}
+        blocks.append(block)
     params = {
         "feature_extractor": {"convs": convs},
         "feature_projection": {
@@ -124,7 +132,7 @@ def feature_extractor(params, waveform, cfg: Wav2Vec2Config):
     return x
 
 
-def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False):
+def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False, aux_out=None):
     """waveform: (B, T) float32 -> (hidden (B, F, D), frame_lengths (B,)).
 
     time_mask: optional bool (B, F) — masked frames are zeroed after the
@@ -163,29 +171,39 @@ def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, 
 
     # lengths-only padding mask: lets mha pick the fused flash kernel on TPU
     # (and synthesize the boolean mask itself on other backends)
+    def ffn(blk, x_in):
+        if cfg.num_experts:
+            from ssak_tpu.parallel.moe import moe_mlp
+
+            y, aux = moe_mlp(x_in, blk["moe"], top_k=cfg.moe_top_k, dtype=dt)
+            if aux_out is not None:
+                aux_out.append(aux)
+            return y
+        return L.mlp(x_in, blk["mlp"], dtype=dt)
+
     blocks = params["encoder"]["blocks"]
     if cfg.do_stable_layer_norm:
         for blk in blocks:
             h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = x + h
-            x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+            x = x + ffn(blk, L.layer_norm(x, blk["mlp_ln"]))
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
     else:
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
         for blk in blocks:
             h, _ = L.mha(x, blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = L.layer_norm(x + h, blk["attn_ln"])
-            x = L.layer_norm(x + L.mlp(x, blk["mlp"], dtype=dt), blk["mlp_ln"])
+            x = L.layer_norm(x + ffn(blk, x), blk["mlp_ln"])
     return x, frame_lengths
 
 
-def ctc_logits(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False):
+def ctc_logits(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False, aux_out=None):
     """Full forward: waveform -> (logits (B, F, V), frame_lengths)."""
-    hidden, frame_lengths = encode(params, waveform, cfg, lengths, time_mask=time_mask, freeze_feature_encoder=freeze_feature_encoder)
+    hidden, frame_lengths = encode(params, waveform, cfg, lengths, time_mask=time_mask, freeze_feature_encoder=freeze_feature_encoder, aux_out=aux_out)
     logits = L.dense(hidden, params["lm_head"], cfg.compute_dtype)
     return logits, frame_lengths
 
 
-def ctc_log_probs(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False):
-    logits, fl = ctc_logits(params, waveform, cfg, lengths, time_mask=time_mask, freeze_feature_encoder=freeze_feature_encoder)
+def ctc_log_probs(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, freeze_feature_encoder=False, aux_out=None):
+    logits, fl = ctc_logits(params, waveform, cfg, lengths, time_mask=time_mask, freeze_feature_encoder=freeze_feature_encoder, aux_out=aux_out)
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), fl

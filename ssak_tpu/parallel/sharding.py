@@ -37,6 +37,15 @@ WAV2VEC2_RULES = [
     (r"/lm_head/bias$", P("model")),
 ]
 
+# expert parallelism: expert-stacked MoE tensors shard their leading E dim
+# on the 'expert' axis (ssak_tpu.parallel.moe); XLA lowers the dispatch/
+# combine einsums to all-to-all over ICI. Composes with the TP rules above
+# when the mesh has both axes.
+WAV2VEC2_MOE_RULES = [
+    (r"/moe/(w1|w2)$", P("expert", None, None)),
+    (r"/moe/(b1|b2)$", P("expert", None)),
+] + WAV2VEC2_RULES
+
 
 def partition_spec_for(path: str, leaf, rules, mesh=None) -> P:
     """Resolve the PartitionSpec for a parameter path; falls back to
@@ -55,6 +64,8 @@ def _divisible(leaf, spec, mesh) -> bool:
     for dim, axis in enumerate(spec):
         if axis is None:
             continue
+        if not isinstance(axis, tuple) and axis not in mesh.shape:
+            return False  # rule references an axis this mesh doesn't have
         size = mesh.shape[axis] if not isinstance(axis, tuple) else 1
         if dim >= len(shape) or shape[dim] % size != 0:
             return False

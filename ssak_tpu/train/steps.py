@@ -175,7 +175,7 @@ def init_train_state(params, optimizer):
 def make_ctc_train_step(
     cfg, optimizer, frozen_feature_encoder: bool = True,
     mask_time_prob: float = 0.0, mask_time_length: int = 10,
-    family: str = "wav2vec2",
+    family: str = "wav2vec2", moe_aux_weight: float = 0.01,
 ):
     """CTC step for either acoustic family ('wav2vec2' or 'conformer').
     batch: {audio (B,T), audio_lengths (B,), labels (B,U),
@@ -204,10 +204,14 @@ def make_ctc_train_step(
                 time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
             # freeze via stop_gradient: the conv-stack VJP (the most expensive
             # backward in the model at 16 kHz sequence length) is never built
+            aux = [] if getattr(cfg, "num_experts", 0) else None
             log_probs, frame_lengths = wav2vec2.ctc_log_probs(
                 params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask,
-                freeze_feature_encoder=frozen_feature_encoder)
+                freeze_feature_encoder=frozen_feature_encoder, aux_out=aux)
         loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
+        if family != "conformer" and getattr(cfg, "num_experts", 0) and aux:
+            # MoE load-balancing penalty (GShard) averaged over layers
+            loss = loss + moe_aux_weight * sum(aux) / len(aux)
         return loss
 
     def mask_frozen(grads):
