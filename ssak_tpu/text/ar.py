@@ -116,3 +116,33 @@ _BW_MAP = {
 def to_buckwalter(text: str) -> str:
     """Arabic → Buckwalter transliteration (reference text_ar.py:96)."""
     return "".join(_BW_MAP.get(c, c) for c in text)
+
+
+_AR_TERMINALS = ",-:!;.؛؟،?_"
+
+
+def make_text_augmenter(language: str, seed: int = 0):
+    """Stochastic label-text augmentation for seq2seq fine-tuning
+    (reference whisper_train.py:302-336, Arabic only there too): with
+    independent 50% chances, verbalize digits, strip vs keep punctuation
+    (adding a terminal dot when kept), so the model sees both written and
+    verbalized label styles. Deterministic under `seed`."""
+    import random
+
+    from ssak_tpu.text.basic import collapse_whitespace, remove_punctuations
+
+    if language != "ar":
+        raise NotImplementedError(f"text augmentation not implemented for language {language!r}")
+    rng = random.Random(seed)
+
+    def augment(text: str) -> str:
+        if rng.random() < 0.5:
+            text = digits_to_words_ar(text)
+        if rng.random() < 0.5:
+            text = remove_punctuations(text)
+        else:
+            if text and text[-1] not in _AR_TERMINALS:
+                text = text + "."
+        return collapse_whitespace(text)
+
+    return augment

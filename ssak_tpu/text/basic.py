@@ -10,7 +10,7 @@ import unicodedata
 
 _WHITESPACE_RE = re.compile(r"[\s  -​  　]+")
 
-_PUNCT = ",.;:!?¿¡…\"«»“”„‟‹›&(){}[]<>*/#@§%~^|_+=–—-"
+_PUNCT = ",.;:!?¿¡…\"«»“”„‟‹›&(){}[]<>*/#@§%~^|_+=–—-؛؟،"  # incl. Arabic ؛؟،
 
 
 def collapse_whitespace(text: str) -> str:

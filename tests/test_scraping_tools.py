@@ -200,3 +200,60 @@ class TestTranscribeRemoteCli:
         assert len(srt_files) == 1
         content = (tmp_path / "o" / srt_files[0]).read_text()
         assert "bonjour le monde" in content and "-->" in content
+
+
+def test_scrape_news_offline(tmp_path):
+    """scrape_news on cached HTML: discovery by URL pattern from a seed
+    page, headline+paragraph extraction, slugged output, resume skip."""
+    import subprocess
+    import sys
+
+    art1 = tmp_path / "article-un.html"
+    art1.write_text(
+        "<html><head><script>var x=1;</script></head><body>"
+        "<nav><p>menu menu menu menu menu</p></nav>"
+        "<h1>Le grand titre de l'article</h1>"
+        "<p>Ceci est le premier paragraphe de taille raisonnable pour le corpus.</p>"
+        "<p>court</p>"
+        "<p>Un second paragraphe avec suffisamment de mots pour franchir le filtre.</p>"
+        "<footer><p>copyright footer mentions legales ici</p></footer>"
+        "</body></html>", encoding="utf-8")
+    art2 = tmp_path / "article-deux.html"
+    art2.write_text("<h1>Autre titre</h1><p>Des mots assez nombreux pour un paragraphe valide ici.</p>",
+                    encoding="utf-8")
+
+    out_dir = tmp_path / "corpus"
+    corpus = tmp_path / "all.txt"
+    cmd = [sys.executable, "/root/repo/tools/scrape_news.py",
+           "--from_files", str(art1), str(art2),
+           "--output_dir", str(out_dir), "--corpus_file", str(corpus)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 2, files
+    body = (out_dir / "le-grand-titre-de-l-article.txt").read_text(encoding="utf-8") \
+        if (out_dir / "le-grand-titre-de-l-article.txt").exists() else (out_dir / files[0]).read_text(encoding="utf-8")
+    assert "premier paragraphe" in body
+    assert "menu menu" not in body and "copyright" not in body and "court" not in body
+    assert "var x" not in body
+    ctext = corpus.read_text(encoding="utf-8")
+    assert "second paragraphe" in ctext
+
+    # resume: running again writes nothing new
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert r2.returncode == 0
+    assert "0 articles" in r2.stdout, r2.stdout
+
+
+def test_scrape_news_discovery(tmp_path):
+    from importlib import util as _u
+
+    spec = _u.spec_from_file_location("scrape_news", "/root/repo/tools/scrape_news.py")
+    mod = _u.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    seed = tmp_path / "seed.html"
+    seed.write_text(
+        '<a href="/article/2024/un.html">un</a> <a href="/autre/page.html">x</a>'
+        ' <a href="https://site.fr/article/deux.html">deux</a>', encoding="utf-8")
+    urls = mod.discover_articles([str(seed)], article_pattern=r"/article/")
+    assert len(urls) == 2, urls

@@ -190,3 +190,28 @@ class TestRussian:
 
     def test_format(self):
         assert format_text("Привет, мир 42!", "ru") == "привет мир сорок два"
+
+
+def test_ar_text_augmenter_deterministic_variants():
+    """Arabic label-text augmentation (reference whisper_train.py:302-336):
+    digit verbalization and punctuation keep/strip variants, deterministic
+    under seed, terminal dot added when punctuation kept."""
+    from ssak_tpu.text.ar import make_text_augmenter
+
+    aug = make_text_augmenter("ar", seed=0)
+    text = "ذهبت إلى السوق، واشتريت 3 تفاحات"
+    outs = {aug(text) for _ in range(20)}
+    assert 1 < len(outs) <= 4, outs  # stochastic but bounded variants
+    # deterministic replay
+    aug2 = make_text_augmenter("ar", seed=0)
+    outs2 = [aug2(text) for _ in range(20)]
+    aug3 = make_text_augmenter("ar", seed=0)
+    assert outs2 == [aug3(text) for _ in range(20)]
+    # every kept-punctuation variant terminates a sentence
+    for o in outs:
+        if "،" in o:
+            assert o.endswith(tuple(",-:!;.؛؟،?_")), o
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        make_text_augmenter("fr")
