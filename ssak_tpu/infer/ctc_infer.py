@@ -112,6 +112,7 @@ def ctc_infer(
     lm_alpha: float = 0.5,
     lm_beta: float = 1.5,
     beam_width: int = 0,
+    tensor_parallel: int = 0,
 ):
     """Generator over transcripts (optionally (id, text)) for any audio
     source accepted by to_audio_batches. lm_path: ARPA n-gram for
@@ -122,6 +123,10 @@ def ctc_infer(
     from ssak_tpu.utils.monitoring import ThroughputMeter, logger
 
     model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    if tensor_parallel:
+        from ssak_tpu.infer.general import shard_model
+
+        shard_model(model, model_axis=tensor_parallel)
     lm = None
     if lm_path:
         # C++ scorer when buildable (KenLM-core equivalent), Python fallback
@@ -163,6 +168,8 @@ def cli(argv=None):
     parser.add_argument("--lm_alpha", type=float, default=0.5)
     parser.add_argument("--lm_beta", type=float, default=1.5)
     parser.add_argument("--beam_width", type=int, default=0, help=">1 enables on-device beam search")
+    parser.add_argument("--tensor_parallel", "--tp", type=int, default=0, dest="tensor_parallel",
+                        help="shard model weights over N chips (megatron TP rules)")
     args = parser.parse_args(argv)
 
     out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
@@ -171,6 +178,7 @@ def cli(argv=None):
             args.model, args.data, batch_size=args.batch_size, sort_by_len=args.sort_by_len,
             output_ids=args.use_ids, log_memtime=args.log_memtime,
             lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width,
+            tensor_parallel=args.tensor_parallel,
         ):
             if args.use_ids:
                 out.write(f"{item[0]} {item[1]}\n")

@@ -102,6 +102,29 @@ def _seeded_model(kind: str) -> LoadedModel:
     return LoadedModel(ModelType.WAV2VEC2_CTC, params, cfg, CTCTokenizer(vocab))
 
 
+def shard_model(model: LoadedModel, model_axis: int = None, mesh=None) -> "LoadedModel":
+    """Tensor-parallel-shard a loaded model's weights over the 'model' mesh
+    axis (megatron rules from ssak_tpu.parallel.sharding) for multi-chip
+    inference — the capability BASELINE.md lists as 'sharded
+    Whisper-large-v3 decode' (the reference only has accelerate
+    device_map placement, whisper_train.py:432-439). The jitted decode
+    programs pick the shardings up from the placed params; activations
+    stay batch-local, XLA inserts the row-parallel all-reduces over ICI.
+
+    model_axis defaults to all local devices. Returns the same LoadedModel
+    with params re-placed and `.mesh` set."""
+    from ssak_tpu.parallel.mesh import make_mesh, shard_params
+    from ssak_tpu.parallel.sharding import WAV2VEC2_RULES, WHISPER_RULES
+
+    if mesh is None:
+        model_axis = model_axis or len(jax.devices())
+        mesh = make_mesh(model=model_axis)
+    rules = WHISPER_RULES if model.type == ModelType.WHISPER else WAV2VEC2_RULES
+    model.params = shard_params(model.params, mesh, rules)
+    model.mesh = mesh
+    return model
+
+
 _LOGPROB_CACHE = {}
 
 

@@ -175,11 +175,14 @@ def whisper_infer(
     seeded_test_config: str = None,
     beam_size: int = 0,
     temperature_fallback: bool = False,
+    tensor_parallel: int = 0,
 ):
     from ssak_tpu.data.dataset import to_audio_batches
-    from ssak_tpu.infer.general import load_model
+    from ssak_tpu.infer.general import load_model, shard_model
 
     model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    if tensor_parallel:
+        shard_model(model, model_axis=tensor_parallel)
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True)
     for batch, ids in batches:
         texts = whisper_transcribe_batch(
@@ -206,6 +209,8 @@ def cli(argv=None):
     parser.add_argument("--beam_size", type=int, default=0)
     parser.add_argument("--accurate", action="store_true", help="beam 5 + temperature fallback (reference --accurate preset)")
     parser.add_argument("--efficient", action="store_true", help="greedy decode (reference --efficient preset)")
+    parser.add_argument("--tensor_parallel", "--tp", type=int, default=0, dest="tensor_parallel",
+                        help="shard model weights over N chips (megatron TP rules)")
     args = parser.parse_args(argv)
     beam = 5 if args.accurate else (0 if args.efficient else args.beam_size)
 
@@ -214,6 +219,7 @@ def cli(argv=None):
         for item in whisper_infer(
             args.model, args.data, batch_size=args.batch_size, language=args.language,
             output_ids=args.use_ids, beam_size=beam, temperature_fallback=args.accurate,
+            tensor_parallel=args.tensor_parallel,
         ):
             out.write(f"{item[0]} {item[1]}\n" if args.use_ids else f"{item}\n")
             out.flush()
