@@ -153,6 +153,39 @@ def decode_log_probas(model: LoadedModel, log_probs, frame_lengths):
     return [model.tokenizer.decode(tokens[b, : lengths[b]]) for b in range(tokens.shape[0])]
 
 
+def load_adapter(model: LoadedModel, model_dir: str, language: str) -> bool:
+    """MMS-style per-language adapter swap (reference
+    transformers_infer.py:205-214: tokenizer.set_target_lang +
+    model.load_adapter). Merges adapter.<language>.safetensors into the
+    params, switches the tokenizer to the language's sub-vocab when
+    vocab.json is nested per-language, and resizes cfg.vocab_size to the
+    language's lm_head. Returns False (no-op) when the checkpoint has no
+    such adapter — same fallback as the reference's 'is not a
+    multi-lingual' handling."""
+    if model.type != ModelType.WAV2VEC2_CTC:
+        return False
+    from ssak_tpu.models.hf_loader import load_wav2vec2_adapter
+
+    try:
+        model.params = load_wav2vec2_adapter(model.params, model_dir, language)
+    except FileNotFoundError:
+        return False
+    vp = os.path.join(model_dir, "vocab.json")
+    if os.path.exists(vp):
+        with open(vp, encoding="utf-8") as f:
+            v = json.load(f)
+        if language in v and isinstance(v[language], dict):
+            from ssak_tpu.models.tokenizer import CTCTokenizer
+
+            model.tokenizer = CTCTokenizer(v[language])
+    new_v = int(model.params["lm_head"]["kernel"].shape[-1])
+    if getattr(model.cfg, "vocab_size", new_v) != new_v:
+        import dataclasses
+
+        model.cfg = dataclasses.replace(model.cfg, vocab_size=new_v)
+    return True
+
+
 def infer(model: LoadedModel, audio_batches, language: str = None, **kwargs):
     """Generator of transcripts over batches of audio arrays (the
     reference's per-backend X_infer() generators unified)."""

@@ -20,7 +20,9 @@ from ssak_tpu.utils.monitoring import logger
 
 def _load_state_dict(model_dir: str) -> dict:
     """name -> np.ndarray from safetensors shards or pytorch_model.bin."""
-    files = sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors"))
+    # MMS-style per-language adapter shards (adapter.<lang>.safetensors)
+    # are NOT part of the base model — loaded on demand by load_wav2vec2_adapter
+    files = sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors") and not f.startswith("adapter."))
     state = {}
     if files:
         from safetensors.numpy import load_file
@@ -181,6 +183,7 @@ def wav2vec2_config_from_hf(model_dir: str):
         do_stable_layer_norm=c.get("do_stable_layer_norm", False),
         vocab_size=c["vocab_size"],
         blank_id=c.get("pad_token_id", 0),
+        adapter_attn_dim=c.get("adapter_attn_dim") or 0,
     )
 
 
@@ -194,6 +197,52 @@ def _weight_norm_conv(sd, pfx):
     norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
     w = g * v / np.maximum(norm, 1e-12)
     return {"kernel": _conv_t(w), "bias": sd[f"{pfx}.bias"]}
+
+
+def _map_adapter(sd, pfx):
+    """HF Wav2Vec2AttnAdapterLayer: norm -> linear_1 (down) -> relu ->
+    linear_2 (up)."""
+    return {
+        "norm": _map_ln(sd, f"{pfx}.norm"),
+        "down": {"kernel": _t(sd[f"{pfx}.linear_1.weight"]), "bias": sd[f"{pfx}.linear_1.bias"]},
+        "up": {"kernel": _t(sd[f"{pfx}.linear_2.weight"]), "bias": sd[f"{pfx}.linear_2.bias"]},
+    }
+
+
+def load_wav2vec2_adapter(params, model_dir: str, language: str):
+    """MMS per-language adapter swap (reference transformers_infer.py:214
+    model.load_adapter(language)): merge adapter.<lang>.safetensors into a
+    loaded wav2vec2 param tree. The adapter file carries the per-layer
+    adapter weights and (for MMS) the per-language lm_head. Returns the
+    updated tree; raises FileNotFoundError when the checkpoint has no such
+    adapter (caller decides whether the model is multilingual)."""
+    path = os.path.join(model_dir, f"adapter.{language}.safetensors")
+    if os.path.exists(path):
+        from safetensors.numpy import load_file
+
+        sd = _strip_prefix(load_file(path), prefixes=("wav2vec2.",))
+    else:
+        binpath = os.path.join(model_dir, f"adapter.{language}.bin")
+        if not os.path.exists(binpath):
+            raise FileNotFoundError(f"no adapter.{language}.safetensors in {model_dir}")
+        import torch
+
+        sd = _strip_prefix(
+            {k: v.numpy() for k, v in torch.load(binpath, map_location="cpu", weights_only=True).items()},
+            prefixes=("wav2vec2.",),
+        )
+    import jax
+    import jax.numpy as _jnp
+
+    n_layers = len(params["encoder"]["blocks"])
+    for i in range(n_layers):
+        pfx = f"encoder.layers.{i}.adapter_layer"
+        if f"{pfx}.norm.weight" in sd:
+            params["encoder"]["blocks"][i]["adapter"] = jax.tree_util.tree_map(_jnp.asarray, _map_adapter(sd, pfx))
+    if "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": _jnp.asarray(_t(sd["lm_head.weight"])), "bias": _jnp.asarray(sd["lm_head.bias"])}
+    logger.info(f"loaded {language} adapter from {path}")
+    return params
 
 
 def load_wav2vec2(model_dir: str):
@@ -216,17 +265,18 @@ def load_wav2vec2(model_dir: str):
     blocks = []
     for i in range(cfg.num_layers):
         pfx = f"encoder.layers.{i}"
-        blocks.append(
-            {
-                "attn": _map_attn(sd, f"{pfx}.attention"),
-                "attn_ln": _map_ln(sd, f"{pfx}.layer_norm"),
-                "mlp": {
-                    "fc1": {"kernel": _t(sd[f"{pfx}.feed_forward.intermediate_dense.weight"]), "bias": sd[f"{pfx}.feed_forward.intermediate_dense.bias"]},
-                    "fc2": {"kernel": _t(sd[f"{pfx}.feed_forward.output_dense.weight"]), "bias": sd[f"{pfx}.feed_forward.output_dense.bias"]},
-                },
-                "mlp_ln": _map_ln(sd, f"{pfx}.final_layer_norm"),
-            }
-        )
+        block = {
+            "attn": _map_attn(sd, f"{pfx}.attention"),
+            "attn_ln": _map_ln(sd, f"{pfx}.layer_norm"),
+            "mlp": {
+                "fc1": {"kernel": _t(sd[f"{pfx}.feed_forward.intermediate_dense.weight"]), "bias": sd[f"{pfx}.feed_forward.intermediate_dense.bias"]},
+                "fc2": {"kernel": _t(sd[f"{pfx}.feed_forward.output_dense.weight"]), "bias": sd[f"{pfx}.feed_forward.output_dense.bias"]},
+            },
+            "mlp_ln": _map_ln(sd, f"{pfx}.final_layer_norm"),
+        }
+        if f"{pfx}.adapter_layer.norm.weight" in sd:
+            block["adapter"] = _map_adapter(sd, f"{pfx}.adapter_layer")
+        blocks.append(block)
     params = {
         "feature_extractor": {"convs": convs},
         "feature_projection": {

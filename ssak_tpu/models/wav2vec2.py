@@ -38,6 +38,10 @@ class Wav2Vec2Config:
     # axis — ssak_tpu.parallel.moe). 0 = dense MLP (the HF architecture).
     num_experts: int = 0
     moe_top_k: int = 2
+    # MMS-style per-layer attention adapters (HF adapter_attn_dim; the
+    # reference loads these per language via model.load_adapter(language),
+    # ssak/infer/transformers_infer.py:214). 0 = no adapters.
+    adapter_attn_dim: int = 0
 
     @property
     def compute_dtype(self):
@@ -84,7 +88,7 @@ def init_params(key, cfg: Wav2Vec2Config):
     n = len(cfg.conv_dim)
     blocks = []
     for i in range(cfg.num_layers):
-        kb = jax.random.split(ks[8 + n + i], 6)
+        kb = jax.random.split(ks[8 + n + i], 8)
         block = {
             "attn": {
                 "query": L.linear_init(kb[0], D, D),
@@ -101,6 +105,12 @@ def init_params(key, cfg: Wav2Vec2Config):
             block["moe"] = moe_init(kb[4], D, cfg.intermediate_size, cfg.num_experts)
         else:
             block["mlp"] = {"fc1": L.linear_init(kb[4], D, cfg.intermediate_size), "fc2": L.linear_init(kb[5], cfg.intermediate_size, D)}
+        if cfg.adapter_attn_dim:
+            block["adapter"] = {
+                "norm": L.ln_init(D),
+                "down": L.linear_init(kb[6], D, cfg.adapter_attn_dim),
+                "up": L.linear_init(kb[7], cfg.adapter_attn_dim, D),
+            }
         blocks.append(block)
     params = {
         "feature_extractor": {"convs": convs},
@@ -181,12 +191,23 @@ def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, 
             return y
         return L.mlp(x_in, blk["mlp"], dtype=dt)
 
+    def adapt(blk, x_in):
+        # MMS per-language attention adapter: LN -> down -> relu -> up,
+        # residual at block end (HF Wav2Vec2AttnAdapterLayer semantics)
+        if "adapter" not in blk:
+            return x_in
+        a = blk["adapter"]
+        h = L.dense(L.layer_norm(x_in, a["norm"]), a["down"], dt)
+        h = jax.nn.relu(h.astype(jnp.float32)).astype(dt)
+        return x_in + L.dense(h, a["up"], dt)
+
     blocks = params["encoder"]["blocks"]
     if cfg.do_stable_layer_norm:
         for blk in blocks:
             h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = x + h
             x = x + ffn(blk, L.layer_norm(x, blk["mlp_ln"]))
+            x = adapt(blk, x)
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
     else:
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
@@ -194,6 +215,7 @@ def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, 
             h, _ = L.mha(x, blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = L.layer_norm(x + h, blk["attn_ln"])
             x = L.layer_norm(x + ffn(blk, x), blk["mlp_ln"])
+            x = adapt(blk, x)
     return x, frame_lengths
 
 
