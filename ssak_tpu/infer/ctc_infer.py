@@ -113,6 +113,7 @@ def ctc_infer(
     lm_beta: float = 1.5,
     beam_width: int = 0,
     tensor_parallel: int = 0,
+    quantize_bits: int = 0,
 ):
     """Generator over transcripts (optionally (id, text)) for any audio
     source accepted by to_audio_batches. lm_path: ARPA n-gram for
@@ -122,7 +123,7 @@ def ctc_infer(
     from ssak_tpu.infer.general import load_model
     from ssak_tpu.utils.monitoring import ThroughputMeter, logger
 
-    model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    model = load_model(model_dir, seeded_test_config=seeded_test_config, quantize_bits=quantize_bits)
     if tensor_parallel:
         from ssak_tpu.infer.general import shard_model
 
@@ -170,6 +171,8 @@ def cli(argv=None):
     parser.add_argument("--beam_width", type=int, default=0, help=">1 enables on-device beam search")
     parser.add_argument("--tensor_parallel", "--tp", type=int, default=0, dest="tensor_parallel",
                         help="shard model weights over N chips (megatron TP rules)")
+    parser.add_argument("--load_in_8bit", action="store_true", help="int8 weight-only quantized decode")
+    parser.add_argument("--load_in_4bit", action="store_true", help="int4 weight-only quantized decode")
     args = parser.parse_args(argv)
 
     out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
@@ -179,6 +182,7 @@ def cli(argv=None):
             output_ids=args.use_ids, log_memtime=args.log_memtime,
             lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width,
             tensor_parallel=args.tensor_parallel,
+            quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
         ):
             if args.use_ids:
                 out.write(f"{item[0]} {item[1]}\n")

@@ -54,10 +54,22 @@ def get_model_type(model_dir: str) -> str:
     raise ValueError(f"cannot determine model type of {model_dir}")
 
 
-def load_model(model_dir: str, seeded_test_config: str = None) -> LoadedModel:
+def load_model(model_dir: str, seeded_test_config: str = None, quantize_bits: int = 0) -> LoadedModel:
     """Load from an HF-format checkpoint dir OR a ssak_tpu exported dir
     (sak-finalize output). seeded_test_config builds a random tiny model
-    instead (offline tests): 'whisper' or 'wav2vec2'."""
+    instead (offline tests): 'whisper' or 'wav2vec2'.
+    quantize_bits=8/4: weight-only quantize matmul kernels on load (the
+    reference's load_in_8bit/load_in_4bit capability, models.quant) —
+    halves/quarters weight HBM for big-model single-chip decode."""
+    model = _load_model(model_dir, seeded_test_config)
+    if quantize_bits:
+        from ssak_tpu.models.quant import quantize_params
+
+        model.params = quantize_params(model.params, bits=quantize_bits)
+    return model
+
+
+def _load_model(model_dir: str, seeded_test_config: str = None) -> LoadedModel:
     if seeded_test_config:
         return _seeded_model(seeded_test_config)
     if os.path.exists(os.path.join(model_dir, "ssak_config.json")):

@@ -176,11 +176,12 @@ def whisper_infer(
     beam_size: int = 0,
     temperature_fallback: bool = False,
     tensor_parallel: int = 0,
+    quantize_bits: int = 0,
 ):
     from ssak_tpu.data.dataset import to_audio_batches
     from ssak_tpu.infer.general import load_model, shard_model
 
-    model = load_model(model_dir, seeded_test_config=seeded_test_config)
+    model = load_model(model_dir, seeded_test_config=seeded_test_config, quantize_bits=quantize_bits)
     if tensor_parallel:
         shard_model(model, model_axis=tensor_parallel)
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True)
@@ -211,6 +212,8 @@ def cli(argv=None):
     parser.add_argument("--efficient", action="store_true", help="greedy decode (reference --efficient preset)")
     parser.add_argument("--tensor_parallel", "--tp", type=int, default=0, dest="tensor_parallel",
                         help="shard model weights over N chips (megatron TP rules)")
+    parser.add_argument("--load_in_8bit", action="store_true", help="int8 weight-only quantized decode")
+    parser.add_argument("--load_in_4bit", action="store_true", help="int4 weight-only quantized decode")
     args = parser.parse_args(argv)
     beam = 5 if args.accurate else (0 if args.efficient else args.beam_size)
 
@@ -220,6 +223,7 @@ def cli(argv=None):
             args.model, args.data, batch_size=args.batch_size, language=args.language,
             output_ids=args.use_ids, beam_size=beam, temperature_fallback=args.accurate,
             tensor_parallel=args.tensor_parallel,
+            quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
         ):
             out.write(f"{item[0]} {item[1]}\n" if args.use_ids else f"{item}\n")
             out.flush()

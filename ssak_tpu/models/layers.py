@@ -52,6 +52,10 @@ def dense(x, params, dtype=None):
     HBM traffic of every layer. Cast to f32 explicitly at numerically
     sensitive points (logits before softmax/log_softmax)."""
     w = params["kernel"]
+    if isinstance(w, dict):  # int8/int4 weight-only quantized (models.quant)
+        from ssak_tpu.models.quant import dequantize_kernel
+
+        w = dequantize_kernel(w, dtype if dtype is not None else x.dtype)
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)

@@ -168,8 +168,18 @@ def make_sb_ctc_optimizer(pretrained_lr: float = 1e-4, head_lr: float = 1.0,
     )
 
 
-def init_train_state(params, optimizer):
-    return {"params": params, "opt_state": optimizer.init(params), "step": jnp.zeros((), jnp.int32)}
+def init_train_state(params, optimizer, quantized: bool = False):
+    """quantized=True: optimizer state is built over the trainable float
+    partition only (int8/int4 base weights are frozen — the QLoRA shape of
+    the reference's load_in_8bit + PEFT path)."""
+    if quantized:
+        from ssak_tpu.models.quant import partition_trainable
+
+        trainable, _ = partition_trainable(params)
+        opt_state = optimizer.init(trainable)
+    else:
+        opt_state = optimizer.init(params)
+    return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
 
 
 def make_ctc_train_step(
@@ -248,17 +258,40 @@ def make_ctc_eval_step(cfg):
     return step
 
 
-def make_whisper_train_step(cfg, optimizer, grad_mask=None):
+def make_whisper_train_step(cfg, optimizer, grad_mask=None, quantized: bool = False):
     """Whisper seq2seq step. batch: {mel (B,n_mels,T), tokens_in (B,U),
     tokens_out (B,U), token_mask (B,U)} (teacher forcing).
     grad_mask: optional fn(grads)->grads (e.g. lora_grad_mask for
-    adapter-only fine-tuning, the reference's PEFT path)."""
+    adapter-only fine-tuning, the reference's PEFT path).
+
+    quantized=True (reference whisper_train.py:374-407 load_in_8bit/4bit +
+    LoRA): params hold int8/int4 base kernels; gradients are taken only
+    w.r.t. the trainable float partition (LoRA leaves when present), the
+    frozen quantized base is closed over — integer leaves never enter
+    autodiff or the optimizer."""
     from ssak_tpu.models import whisper
 
     def loss_fn(params, batch):
         enc = whisper.encode(params, batch["mel"], cfg)
         logits = whisper.decode_train(params, batch["tokens_in"], enc, cfg)
         return whisper.cross_entropy_loss(logits, batch["tokens_out"], batch["token_mask"])
+
+    if quantized:
+        from ssak_tpu.models.quant import merge_partition, partition_trainable
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            trainable, frozen = partition_trainable(state["params"])
+            loss, grads = jax.value_and_grad(
+                lambda t: loss_fn(merge_partition(t, frozen), batch)
+            )(trainable)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, state["opt_state"], trainable)
+            params = merge_partition(optax.apply_updates(trainable, updates), frozen)
+            new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+            return new_state, {"loss": loss, "grad_norm": gnorm}
+
+        return step
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch):
