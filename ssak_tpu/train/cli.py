@@ -23,6 +23,7 @@ def build_parser():
     p.add_argument("--output_dir", default="runs")
     p.add_argument("--language", default="fr")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1, help="gradient accumulation micro-steps per optimizer update")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--warmup_steps", type=int, default=500)
@@ -144,6 +145,7 @@ def main(argv=None):
         augmenter=augmenter, seed=args.seed,
         normalize_text=norm,
         optimizer=args.optimizer, schedule=args.schedule, head_lr=args.head_lr,
+        grad_accum=args.grad_accum,
     )
     if args.resume:
         trainer.resume()

@@ -54,6 +54,7 @@ class CTCTrainer:
         newbob_improvement_threshold: float = 0.0025,
         newbob_annealing_factor: float = 0.8,
         newbob_patient: int = 0,
+        grad_accum: int = 1,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -90,6 +91,10 @@ class CTCTrainer:
                 learning_rate=learning_rate, weight_decay=weight_decay,
                 warmup_steps=warmup_steps, total_steps=total_steps, schedule=schedule,
             )
+        if grad_accum > 1:
+            from ssak_tpu.train.steps import with_grad_accumulation
+
+            self.optimizer = with_grad_accumulation(self.optimizer, grad_accum)
         self.state = init_train_state(params, self.optimizer)
         self.train_step = make_ctc_train_step(
             cfg, self.optimizer, frozen_feature_encoder=freeze_feature_encoder, mask_time_prob=mask_time_prob

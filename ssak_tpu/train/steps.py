@@ -89,7 +89,10 @@ def make_newbob_optimizer(
 
 
 def set_learning_rate(opt_state, lr):
-    """New opt_state with the injected learning rate replaced."""
+    """New opt_state with the injected learning rate replaced (recurses
+    into optax.MultiSteps wrapping when gradient accumulation is on)."""
+    if hasattr(opt_state, "inner_opt_state"):  # MultiStepsState
+        return opt_state._replace(inner_opt_state=set_learning_rate(opt_state.inner_opt_state, lr))
     hp = dict(opt_state.hyperparams)
     key = "lr" if "lr" in hp else "learning_rate"
     hp[key] = jnp.asarray(lr, jnp.asarray(hp[key]).dtype)
@@ -97,8 +100,21 @@ def set_learning_rate(opt_state, lr):
 
 
 def get_learning_rate(opt_state) -> float:
+    if hasattr(opt_state, "inner_opt_state"):  # MultiStepsState
+        return get_learning_rate(opt_state.inner_opt_state)
     hp = opt_state.hyperparams
     return float(hp["lr" if "lr" in hp else "learning_rate"])
+
+
+def with_grad_accumulation(optimizer, every: int):
+    """Gradient accumulation (reference HF Trainer
+    gradient_accumulation_steps): grads of `every` consecutive micro-steps
+    are averaged on device; the wrapped optimizer applies one update per
+    `every` micro-steps. Keeps the train step a single compiled program —
+    the accumulator lives in opt_state."""
+    if every <= 1:
+        return optimizer
+    return optax.MultiSteps(optimizer, every_k_schedule=every)
 
 
 class NewBob:

@@ -81,7 +81,7 @@ def train_whisper(
     params, cfg, tokenizer, train_rows, eval_rows, output_dir,
     language=None, lora_rank: int = 0, learning_rate=1e-5, warmup_steps=50,
     max_steps=1000, batch_size=4, eval_steps=200, seed=69, normalize_text=None,
-    log_interval=10, quantize_bits: int = 0,
+    log_interval=10, quantize_bits: int = 0, grad_accum: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -106,6 +106,10 @@ def train_whisper(
         qb, db = quantized_bytes(params)
         logger.info(f"quantized base: {qb / 1e6:.1f} MB in HBM (dense bf16 equivalent {db / 1e6:.1f} MB)")
     optimizer = make_optimizer(learning_rate=learning_rate, warmup_steps=warmup_steps, total_steps=max_steps)
+    if grad_accum > 1:
+        from ssak_tpu.train.steps import with_grad_accumulation
+
+        optimizer = with_grad_accumulation(optimizer, grad_accum)
     state = init_train_state(params, optimizer, quantized=bool(quantize_bits))
     step_fn = make_whisper_train_step(cfg, optimizer, grad_mask=grad_mask, quantized=bool(quantize_bits))
     batcher = WhisperBatcher(cfg, tokenizer, language=language, batch_size=batch_size, normalize_text=normalize_text)
@@ -180,6 +184,7 @@ def main(argv=None):
     p.add_argument("--load_in_8bit", action="store_true", help="int8 frozen base (pair with --lora)")
     p.add_argument("--load_in_4bit", action="store_true", help="int4 frozen base (pair with --lora)")
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--grad_accum", type=int, default=1, help="gradient accumulation micro-steps per optimizer update")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--max_steps", type=int, default=1000)
     p.add_argument("--eval_steps", type=int, default=200)
@@ -221,6 +226,7 @@ def main(argv=None):
         max_steps=args.max_steps, batch_size=args.batch_size, eval_steps=args.eval_steps,
         seed=args.seed, normalize_text=norm,
         quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
+        grad_accum=args.grad_accum,
     )
     print(json.dumps({"output_dir": args.output_dir, "steps": int(np.asarray(state["step"]))}))
 

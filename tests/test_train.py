@@ -193,3 +193,66 @@ def test_trainer_newbob_integration(tmp_path):
     lrs = [h["learning_rate"] for h in hist if "learning_rate" in h]
     assert lrs, hist
     assert lrs[-1] <= 1e-3
+
+
+def test_grad_accumulation():
+    """with_grad_accumulation(k): params are frozen for k-1 micro-steps,
+    then one update equal (to fp tolerance) to a single step on the mean
+    of the micro-batch gradients — the reference HF Trainer's
+    gradient_accumulation_steps semantics."""
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.train.steps import (
+        init_train_state,
+        make_ctc_train_step,
+        make_optimizer,
+        with_grad_accumulation,
+    )
+
+    cfg = wav2vec2.make_config("tiny_test")
+    params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    audio = rng.randn(4, 3200).astype(np.float32) * 0.1
+
+    def mk_batch(sl):
+        return {
+            "audio": jnp.asarray(audio[sl]),
+            "audio_lengths": jnp.full((audio[sl].shape[0],), 3200, np.int32),
+            "labels": jnp.asarray(rng2.randint(5, 12, (audio[sl].shape[0], 4)), np.int32),
+            "label_lengths": jnp.full((audio[sl].shape[0],), 4, np.int32),
+        }
+
+    rng2 = np.random.RandomState(1)
+    big = mk_batch(slice(0, 4))
+    rng2 = np.random.RandomState(1)
+    micro1 = mk_batch(slice(0, 2))
+    micro2 = {**mk_batch(slice(2, 4)), "labels": big["labels"][2:], "label_lengths": big["label_lengths"][2:]}
+    micro1 = {**micro1, "labels": big["labels"][:2], "label_lengths": big["label_lengths"][:2]}
+
+    opt_plain = make_optimizer(learning_rate=1e-3, warmup_steps=0, total_steps=10, schedule="constant")
+    opt_accum = with_grad_accumulation(
+        make_optimizer(learning_rate=1e-3, warmup_steps=0, total_steps=10, schedule="constant"), 2
+    )
+
+    state_a = init_train_state(params, opt_accum)
+    step_a = make_ctc_train_step(cfg, opt_accum, frozen_feature_encoder=True)
+    p0 = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(state_a["params"])]
+    state_a, _ = step_a(state_a, micro1)
+    # no update yet after the first micro-step
+    for a, b in zip(p0, jax.tree_util.tree_leaves(state_a["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state_a, _ = step_a(state_a, micro2)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(p0, jax.tree_util.tree_leaves(state_a["params"]))
+    )
+    assert changed, "no update after k micro-steps"
+
+    # equivalence with one big-batch step (same mean gradient)
+    params_b = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)  # pristine (state_a donated the originals)
+    state_b = init_train_state(params_b, opt_plain)
+    step_b = make_ctc_train_step(cfg, opt_plain, frozen_feature_encoder=True)
+    state_b, _ = step_b(state_b, big)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a["params"]), jax.tree_util.tree_leaves(state_b["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(pa, np.float64), np.asarray(pb, np.float64), atol=2e-3, rtol=0.1)
