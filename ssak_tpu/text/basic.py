@@ -26,7 +26,7 @@ def remove_punctuations(text: str, strong: bool = False) -> str:
 
 _SPECIAL_MAP = {
     # ligatures
-    "œ": "oe", "Œ": "OE", "æ": "ae", "Æ": "AE", "ﬁ": "fi", "ﬂ": "fl", "ĳ": "ij",
+    "œ": "oe", "Œ": "Oe", "æ": "ae", "Æ": "Ae", "ﬁ": "fi", "ﬂ": "fl", "ĳ": "ij",
     # quotes / apostrophes
     "’": "'", "‘": "'", "ʼ": "'", "´": "'", "`": "'", "‛": "'", "“": '"', "”": '"', "„": '"',
     # dashes
@@ -35,7 +35,8 @@ _SPECIAL_MAP = {
     "…": "...",
     # unicode homoglyphs / confusables commonly found in scraped text
     "ߎ": "o", "ᵉ": "e", "ᵈ": "d", "ʳ": "r", "ˢ": "s", "ᵗ": "t",
-    "¬": "", "­": "", "‍": "", "﻿": "",
+    "­": "", "‍": "", "﻿": "",  # NOT "¬": it must survive to the logged
+    # non-latin removal in text/latin.py (reference logs it to file_special)
     "ǝ": "e", "ɑ": "a",
 }
 
@@ -45,10 +46,16 @@ LATIN_HOMOGLYPHS = {"ο": "o", "а": "a", "е": "e", "о": "o", "р": "p", "с":
 
 _SPECIAL_RE = re.compile("|".join(re.escape(k) for k in _SPECIAL_MAP))
 
+# reference text_basic.py:26 _non_printable_pattern — C0/C1 controls are
+# silently dropped (NOT logged as special chars; the golden special_chars.txt
+# only lists characters that reach the final non-latin removal)
+_NON_PRINTABLE_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]")
+
 
 def format_special_characters(text: str) -> str:
     """Normalize ligatures, curly quotes, dashes, homoglyphs; NFC-compose."""
     text = unicodedata.normalize("NFC", text)
+    text = _NON_PRINTABLE_RE.sub("", text)
     text = _SPECIAL_RE.sub(lambda m: _SPECIAL_MAP[m.group(0)], text)
     return collapse_whitespace(text)
 

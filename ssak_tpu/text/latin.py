@@ -79,7 +79,7 @@ def _num(n, language):
 def _digitwise(s: str, language: str) -> str:
     """Read a number with a leading zero digit-group-wise: '01' -> 'zéro un'."""
     if len(s) >= 2 and s[0] == "0":
-        return " ".join(_num(d, language) for d in s) if len(s) == 2 else " ".join(_num(d, language) for d in s)
+        return " ".join(_num(d, language) for d in s)
     return _num(s, language)
 
 
@@ -302,9 +302,42 @@ def apply_abbreviations(text: str, language: str) -> str:
     return "".join(table.get(t, t) for t in toks)
 
 
-_REMOVE_CHARS_RE = re.compile(r"[®©™*†‡¤¦§¶]")
-_PUNCT_STRIP_RE = re.compile(r"[,.;:!?¿¡…\"«»“”(){}\[\]<>|~^¨=+]")
+# early, unlogged removals: symbols that would confuse mid-pipeline passes.
+# ® © ™ ¬ ¤ ¦ § ¶ are NOT here — they must reach the final non-latin removal
+# so they get logged to fid_special_chars (reference golden special_chars.txt)
+_REMOVE_CHARS_RE = re.compile(r"[*†‡]")
+# reference remove_punctuations (text_basic.py:15-24): string.punctuation
+# minus -' plus typographic extras — notably includes "/" (win 98 / me -> win
+# 98 me) so slashes never reach the logged non-latin removal
+import string as _string
+
+_PUNCT_STRIP_RE = re.compile(
+    "[" + re.escape("".join(c for c in _string.punctuation if c not in "-'") + "¿¡…«»“”„‟‹›•–‘″°、。，！？：؟،؛¨") + "]"
+)
 _DOT_BETWEEN_RE = re.compile(r"(?<=[a-zà-ÿ])\.(?=[a-zà-ÿ])")
+
+# reference text_utils.py:328 — final removal of anything non-latin, with
+# optional logging of removed characters ("%06d char" lines, globally deduped)
+_NON_LATIN_RE = re.compile(r"[^a-zA-Z0-9À-ÿ\-'.?!,;: ]")
+_ALL_ACRONYMS: list = []
+_ALL_SPECIAL_CHARACTERS: list = []
+
+
+def reset_mined_state() -> None:
+    """Clear the global acronym/special-char dedup state (for tests/CLI)."""
+    _ALL_ACRONYMS.clear()
+    _ALL_SPECIAL_CHARACTERS.clear()
+
+
+def _remove_non_latin(text: str, fid=None) -> str:
+    out = _NON_LATIN_RE.sub("", text)
+    if fid is not None:
+        for c in text:
+            if c not in out and c not in _ALL_SPECIAL_CHARACTERS:
+                print(f"{ord(c):06d} {c}", file=fid)
+                fid.flush()
+                _ALL_SPECIAL_CHARACTERS.append(c)
+    return out
 
 
 def format_text_latin(
@@ -314,21 +347,44 @@ def format_text_latin(
     keep_punc: bool = False,
     extract_parenthesized: bool = True,
     safety_checks: bool = True,
+    convert_numbers: bool = True,
+    fid_acronyms=None,
+    fid_special_chars=None,
 ) -> str:
     """Normalize one line; parenthesized groups become extra '\\n'-separated
-    segments (reference behavior on the frwac corpus)."""
-    segments = [text]
-    outputs = []
-    while segments:
-        seg = segments.pop(0)
-        if extract_parenthesized:
-            seg, groups = extract_parentheses(seg)
-            segments.extend(groups)
-        outputs.append(_format_segment(seg, language, lower_case, keep_punc, safety_checks))
-    return "\n".join(s for s in outputs if s)
+    segments (reference behavior on the frwac corpus).
+
+    Segment emission order matches reference text_latin.py:69-78: innermost
+    groups are pulled out, the remainder (which may still hold outer parens)
+    recurses FIRST — so outer segments precede inner ones in the output.
+    """
+    opts = dict(
+        language=language, lower_case=lower_case, keep_punc=keep_punc,
+        extract_parenthesized=extract_parenthesized, safety_checks=safety_checks,
+        convert_numbers=convert_numbers,
+        fid_acronyms=fid_acronyms, fid_special_chars=fid_special_chars,
+    )
+    if "\n" in text:
+        return "\n".join(format_text_latin(t, **opts) for t in text.split("\n"))
+    if extract_parenthesized and "(" in text and ")" in text:
+        inner = re.findall(r"\(([^()]*?)\)", text)
+        if inner:
+            stripped = text
+            for g in inner:
+                stripped = stripped.replace("(" + g + ")", "", 1)
+            if stripped != text:
+                parts = [stripped] + inner
+                return "\n".join(s for s in (format_text_latin(p, **opts) for p in parts) if s)
+    if fid_acronyms is not None:
+        for acro in find_acronyms(text):
+            if acro not in _ALL_ACRONYMS:
+                print(acro, file=fid_acronyms)
+                fid_acronyms.flush()
+                _ALL_ACRONYMS.append(acro)
+    return _format_segment(text, language, lower_case, keep_punc, safety_checks, fid_special_chars, convert_numbers)
 
 
-def _format_segment(text, language, lower_case, keep_punc, safety_checks):
+def _format_segment(text, language, lower_case, keep_punc, safety_checks, fid_special_chars=None, convert_numbers=True):
     fr = _lang(language) == "fr"
     text = format_special_characters(text)
     from ssak_tpu.text.basic import LATIN_HOMOGLYPHS
@@ -346,16 +402,25 @@ def _format_segment(text, language, lower_case, keep_punc, safety_checks):
     text = re.sub(r"(?<=[0-9A-Za-zà-ÿÀ-Ÿ])\.(?=[A-Za-zà-ÿÀ-Ÿ])", " point " if fr else " dot ", text)
     # dimension separators: "39 x31x30" -> "39 x 31 x 30"
     text = re.sub(r"(?<=\d)\s*[x×]\s*(?=\d)", " x ", text)
-    text = verbalize_times(text, language)
-    text = verbalize_units(text, language)
-    text = verbalize_phones(text, language)
-    text = verbalize_ordinals(text, language)
-    text = verbalize_roman(text, language)
-    text = text.replace("+", " plus ")
-    text = text.replace("&", " et " if fr else " and ")
-    # digit-letter gluings ("5Bbackid" -> "5 Bbackid"); units ran earlier
-    text = re.sub(r"(?<=\d)(?=[A-Za-zà-ÿ])", " ", text)
-    text = verbalize_numbers(text, language)
+    if convert_numbers:
+        text = verbalize_times(text, language)
+        text = verbalize_units(text, language)
+        text = verbalize_phones(text, language)
+        text = verbalize_ordinals(text, language)
+        text = verbalize_roman(text, language)
+        text = text.replace("+", " plus ")
+        text = text.replace("&", " et " if fr else " and ")
+        # digit-letter gluings ("5Bbackid" -> "5 Bbackid"); units ran earlier
+        text = re.sub(r"(?<=\d)(?=[A-Za-zà-ÿ])", " ", text)
+        text = verbalize_numbers(text, language)
+    else:
+        # reference text_latin.py:190-198 with convert_numbers=False: unglue
+        # digits from letters, but re-glue ordinal suffixes ("6 ème" -> "6ème")
+        text = re.sub(r"(?<=\d)(?=[A-Za-zà-ÿ])", " ", text)
+        if fr:
+            text = re.sub(r"([0-9])\s+(ère|ere|er|re|nd|nde|º|ème|eme|e)\b", r"\1\2", text)
+        else:
+            text = re.sub(r"([0-9])\s+(st|nd|rd|º|th)\b", r"\1\2", text)
     if lower_case:
         text = text.lower()
     # "cm.Polyester"-style glued dots -> point/dot
@@ -366,22 +431,35 @@ def _format_segment(text, language, lower_case, keep_punc, safety_checks):
         text = re.sub(r"(^|\s)-+(\s|$)", " ", text)
         text = re.sub(r"\s-+(?=\S)", " ", text)  # " -vous" -> " vous"
         text = re.sub(r"(?<=\S)-+\s", " ", text)
-    # drop leftover invisible/private-use/symbol characters
-    import unicodedata
-
-    text = "".join(c for c in text if unicodedata.category(c) not in ("Cf", "Co", "Cn", "So"))
+    # final non-latin removal (reference text_latin.py:220), logging removed
+    # characters to fid_special_chars — this is what strips ® © ¬ € etc.
+    text = _remove_non_latin(text, fid_special_chars)
     text = collapse_whitespace(text)
-    if safety_checks and _NUMBER_RE.search(text):
+    if safety_checks and convert_numbers and _NUMBER_RE.search(text):
         logger.warning(f"digits remain after normalization: {text[:120]!r}")
     return text
 
 
 # --- acronym mining (reference text_latin.py find_acronyms:26) ------------
 
-_ACRONYM_RE = re.compile(r"\b[A-Z][A-Z0-9]{1,9}\b")
+_ACRONYM_RE = re.compile(r"\b[A-Z][A-Z0-9]{1,}\b")
 
 
-def find_acronyms(text: str) -> list:
-    """Collect ALL-CAPS acronym tokens from raw (pre-normalization) text."""
-    candidates = _ACRONYM_RE.findall(text)
-    return [c for c in candidates if not c.isdigit()]
+def find_acronyms(text: str, ignore_first_upper_words: bool = True) -> list:
+    """Collect ALL-CAPS acronym tokens from raw (pre-normalization) text.
+
+    Matches reference text_latin.py:26 find_acronyms exactly: leading
+    all-uppercase words (e.g. headline starts) are skipped by scanning up to
+    the first lowercase character and cutting at the last space before it.
+    """
+    if not text:
+        return []
+    i = 0
+    if ignore_first_upper_words:
+        up = text.upper()
+        for j, (a, b) in enumerate(zip(text, up)):
+            if a == " ":
+                i = j
+            if a != b:
+                break
+    return _ACRONYM_RE.findall(text[i:])

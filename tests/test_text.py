@@ -5,6 +5,7 @@ The French cases mirror the behaviors pinned by the reference golden corpus
 style of reference tests/unittests/test_format_text.py.
 """
 
+import os
 import pytest
 
 from ssak_tpu.text import (
@@ -215,3 +216,48 @@ def test_ar_text_augmenter_deterministic_variants():
 
     with pytest.raises(NotImplementedError):
         make_text_augmenter("fr")
+
+
+# --- reference golden-corpus non-regression -------------------------------
+# Mirrors reference tests/unittests/test_format_text.py:196 test_non_regression_fr:
+# the frwac corpus is normalized through the clean_text CLI and the output,
+# mined acronyms, and removed special characters must match the reference
+# goldens byte-for-byte.
+
+_REF_FRWAC = "/root/reference/tests/data/text/frwac.txt"
+_REF_EXPECTED = "/root/reference/tests/expected/format_text"
+
+
+class TestGoldenCorpus:
+    def _run(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        out = tmp_path / "output.txt"
+        acr = tmp_path / "acronyms.txt"
+        spc = tmp_path / "special_chars.txt"
+        r = subprocess.run(
+            [
+                _sys.executable,
+                os.path.join(os.path.dirname(__file__), "..", "tools", "clean_text.py"),
+                _REF_FRWAC, str(out),
+                "--empty_string_policy=ignore", "--linebreak_policy=allow",
+                "--extract_parenthesis", "--file_acro", str(acr),
+                "--file_special", str(spc),
+            ],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        return out, acr, spc
+
+    def test_golden_exact(self, tmp_path):
+        import pytest
+
+        if not os.path.exists(_REF_FRWAC):
+            pytest.skip("reference corpus not available")
+        out, acr, spc = self._run(tmp_path)
+        for got, want in [
+            (out, "output.txt"), (acr, "acronyms.txt"), (spc, "special_chars.txt"),
+        ]:
+            expected = open(os.path.join(_REF_EXPECTED, want), encoding="utf-8").read()
+            assert got.read_text(encoding="utf-8") == expected, f"{want} diverges"
