@@ -32,18 +32,36 @@ def kaldi_folder_to_manifest(
     min_duration: float = None,
     max_duration: float = None,
     max_text_length: int = None,
+    max_data: int = None,
     choose_data_with_max_duration: bool = False,
     shuffle: bool = False,
     sort_by_len: int = 0,
     weights: float = 1.0,
     seed: int = 69,
-    return_format: str = "list",
+    use_cache: bool = False,
 ):
     """Load one Kaldi dir, a list file of dirs+weights, or a list of dirs.
 
     sort_by_len: 0 none, 1 ascending, -1 descending (reference
-    dataset.py:278-291). Returns (meta, rows) where meta has totals.
+    dataset.py:278-291).  max_data caps the utterance count: a seeded random
+    subset by default, or the max_data LONGEST utterances when
+    choose_data_with_max_duration is set (reference dataset.py:244-282).
+    use_cache: fingerprint the kaldi dir contents + filter args and reuse a
+    JSONL manifest cache (reference dataset.py:426-480 CSV caching).
+    Returns (meta, rows) where meta has totals.
     """
+    if use_cache:
+        key = _manifest_cache_key(
+            path, min_duration=min_duration, max_duration=max_duration,
+            max_text_length=max_text_length, max_data=max_data,
+            choose_data_with_max_duration=choose_data_with_max_duration,
+            shuffle=shuffle, sort_by_len=sort_by_len, weights=weights, seed=seed,
+        )
+        cached = _manifest_cache_path(key)
+        if os.path.exists(cached):
+            rows = load_manifest(cached)
+            logger.info(f"manifest cache hit: {cached} ({len(rows)} rows)")
+            return _manifest_meta(rows), rows
     rows = []
     if isinstance(path, str) and os.path.isfile(path):
         # list file: "<kaldi_dir> [weight]" per line
@@ -71,14 +89,21 @@ def kaldi_folder_to_manifest(
     if min_duration is not None:
         rows = [r for r in rows if r["duration"] is None or r["duration"] >= min_duration]
     if max_duration is not None:
-        if choose_data_with_max_duration:
-            rows = [r for r in rows if r["duration"] is None or r["duration"] <= max_duration]
-        else:
-            rows = [r for r in rows if r["duration"] is None or r["duration"] <= max_duration]
+        rows = [r for r in rows if r["duration"] is None or r["duration"] <= max_duration]
     if max_text_length is not None:
         rows = [r for r in rows if len(r.get("text") or "") <= max_text_length]
     if len(rows) != n_before:
         logger.info(f"filtered {n_before - len(rows)}/{n_before} utterances (duration/text-length)")
+
+    if max_data and max_data < len(rows):
+        if choose_data_with_max_duration:
+            # keep the max_data LONGEST utterances (reference dataset.py:278-282
+            # sorts by (duration, text length) and takes the tail)
+            rows.sort(key=lambda r: (r["duration"] or 0.0, len(r.get("text") or "")))
+            rows = rows[-max_data:]
+        else:
+            rng = random.Random(seed)
+            rows = rng.sample(rows, max_data)
 
     if shuffle:
         rng = random.Random(seed)
@@ -86,11 +111,16 @@ def kaldi_folder_to_manifest(
     elif sort_by_len:
         rows.sort(key=lambda r: (r["duration"] or 0.0), reverse=sort_by_len < 0)
 
-    meta = {
+    if use_cache:
+        cache_manifest(rows, key)
+    return _manifest_meta(rows), rows
+
+
+def _manifest_meta(rows):
+    return {
         "samples": len(rows),
         "h duration": round(sum(r["duration"] or 0.0 for r in rows) / 3600.0, 6),
     }
-    return meta, rows
 
 
 def _extend_unique(rows, sub):
@@ -176,12 +206,43 @@ def _apply_weight(rows, weight: float, seed: int = 69):
 
 # --- manifest caching -----------------------------------------------------
 
+_KALDI_FILES = ("wav.scp", "text", "segments", "utt2spk", "utt2dur", "spk2gender")
+
+
+def _dir_fingerprint(path):
+    """(name, mtime_ns, size) per standard kaldi file — cheap invalidation
+    (counterpart of the HF-datasets _fingerprint in reference dataset.py:444)."""
+    fp = []
+    for fn in _KALDI_FILES:
+        p = os.path.join(path, fn)
+        if os.path.exists(p):
+            st = os.stat(p)
+            fp.append((fn, st.st_mtime_ns, st.st_size))
+    return (os.path.abspath(path), tuple(fp))
+
+
+def _manifest_cache_key(path, **opts):
+    if isinstance(path, str) and os.path.isfile(path):
+        st = os.stat(path)
+        src = ("listfile", os.path.abspath(path), st.st_mtime_ns, st.st_size,
+               tuple(_dir_fingerprint(os.path.expandvars(l.split()[0]))
+                     for l in open(path, encoding="utf-8") if l.split() and os.path.isdir(os.path.expandvars(l.split()[0]))))
+    elif isinstance(path, (list, tuple)):
+        src = ("list", tuple(_dir_fingerprint(os.path.expandvars(p)) for p in path))
+    else:
+        src = ("dir", _dir_fingerprint(os.path.expandvars(path)))
+    return (src, tuple(sorted(opts.items())))
+
+
+def _manifest_cache_path(key_obj) -> str:
+    cache = os.path.join(get_cache_dir(), "manifests")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, hashmd5(key_obj) + ".jsonl")
+
 
 def cache_manifest(rows, key_obj) -> str:
     """Write rows to a JSONL cache file keyed by a fingerprint; return path."""
-    cache = os.path.join(get_cache_dir(), "manifests")
-    os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, hashmd5(key_obj) + ".jsonl")
+    path = _manifest_cache_path(key_obj)
     if not os.path.exists(path):
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:

@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--save_total_limit", type=int, default=2)
     p.add_argument("--early_stopping", type=int, default=15)
     p.add_argument("--min_duration", type=float, default=0.1)
+    p.add_argument("--max_data", type=int, default=None, help="cap utterance count")
+    p.add_argument("--choose_data_with_max_duration", action="store_true", help="with --max_data: keep the longest utterances instead of a random subset")
+    p.add_argument("--use_manifest_cache", action="store_true", help="fingerprint-cache parsed kaldi manifests")
     p.add_argument("--max_duration", type=float, default=15.0)
     p.add_argument("--seed", type=int, default=69)
     p.add_argument("--data_augment", action="store_true")
@@ -95,9 +98,12 @@ def main(argv=None):
             return t.lower()
 
     meta_tr, train_rows = kaldi_folder_to_manifest(
-        args.train, min_duration=args.min_duration, max_duration=args.max_duration, seed=args.seed
+        args.train, min_duration=args.min_duration, max_duration=args.max_duration,
+        max_data=args.max_data, choose_data_with_max_duration=args.choose_data_with_max_duration,
+        use_cache=args.use_manifest_cache, seed=args.seed,
     )
-    meta_va, valid_rows = kaldi_folder_to_manifest(args.valid, max_duration=args.max_duration, seed=args.seed)
+    meta_va, valid_rows = kaldi_folder_to_manifest(
+        args.valid, max_duration=args.max_duration, use_cache=args.use_manifest_cache, seed=args.seed)
     logger.info(f"train: {meta_tr} valid: {meta_va}")
 
     # model + tokenizer

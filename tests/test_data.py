@@ -153,3 +153,79 @@ def test_reference_kaldi_small_wav_only(reference_data_dir, monkeypatch, tmp_pat
 
     a = load_audio(wav_rows[0]["audio"], start=wav_rows[0]["start"], end=wav_rows[0]["end"])
     assert a.ndim == 1 and len(a) > 0
+
+
+def test_manifest_max_data_modes(kaldi_dir):
+    """max_data caps the count: random subset by default, the LONGEST
+    utterances with choose_data_with_max_duration (reference
+    dataset.py:244-282)."""
+    _, all_rows = kaldi_folder_to_manifest(kaldi_dir)
+    _, longest = kaldi_folder_to_manifest(kaldi_dir, max_data=2, choose_data_with_max_duration=True)
+    assert len(longest) == 2
+    durs_all = sorted(r["duration"] for r in all_rows)
+    assert sorted(r["duration"] for r in longest) == durs_all[-2:]
+    _, rand1 = kaldi_folder_to_manifest(kaldi_dir, max_data=2, seed=1)
+    _, rand1b = kaldi_folder_to_manifest(kaldi_dir, max_data=2, seed=1)
+    assert [r["id"] for r in rand1] == [r["id"] for r in rand1b]  # seeded
+    assert len(rand1) == 2
+
+
+def test_manifest_cache_roundtrip(kaldi_dir, tmp_path, monkeypatch):
+    """use_cache writes a fingerprinted JSONL and a second call loads it
+    without re-parsing; touching a kaldi file invalidates the fingerprint."""
+    import time
+
+    monkeypatch.setenv("SSAK_TPU_CACHE", str(tmp_path / "cache"))
+    meta1, rows1 = kaldi_folder_to_manifest(kaldi_dir, use_cache=True)
+    cache_dir = tmp_path / "cache" / "manifests"
+    files1 = sorted(os.listdir(cache_dir))
+    assert len(files1) == 1
+    # cache hit: same fingerprint must NOT re-parse the kaldi dir
+    from ssak_tpu.data import dataset as ds_mod
+
+    def _boom(path):
+        raise AssertionError("cache miss: kaldi dir was re-parsed")
+
+    monkeypatch.setattr(ds_mod, "_load_one_kaldi_dir", _boom)
+    meta2, rows2 = kaldi_folder_to_manifest(kaldi_dir, use_cache=True)
+    assert rows2 == rows1 and meta2 == meta1
+    monkeypatch.undo()
+    monkeypatch.setenv("SSAK_TPU_CACHE", str(tmp_path / "cache"))
+    # touching a kaldi file -> new fingerprint -> re-parse (new cache file)
+    txt = os.path.join(kaldi_dir, "text")
+    now = time.time() + 10
+    os.utime(txt, (now, now))
+    kaldi_folder_to_manifest(kaldi_dir, use_cache=True)
+    assert len(os.listdir(cache_dir)) > 1
+    # different filter args key differently
+    kaldi_folder_to_manifest(kaldi_dir, use_cache=True, max_duration=1.5)
+    assert len(os.listdir(cache_dir)) > 2
+
+
+def test_dummy_padding_rows_zero_gradient(kaldi_dir):
+    """Batch-pad dummy rows (label_lengths == 0) must contribute exactly zero
+    loss and zero gradient (VERDICT r1 weak #10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssak_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(0)
+    B, T, V, U = 3, 12, 6, 4
+    logits = jnp.asarray(rng.normal(size=(B, T, V)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, V, size=(B, U)).astype(np.int32))
+    # row 2 is a dummy: zero-length labels, 1-frame audio
+    label_lens = jnp.asarray(np.array([U, U, 0], np.int32))
+    logit_lens = jnp.asarray(np.array([T, T, 1], np.int32))
+
+    def loss_fn(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return ctc_loss(lp, logit_lens, labels, label_lens)
+
+    per_row = jax.grad(loss_fn)(logits)
+    assert float(jnp.abs(per_row[2]).max()) == 0.0
+    # and the dummy row's loss element is exactly zero
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    nll = ctc_loss(lp, logit_lens, labels, label_lens, reduction="none")
+    assert float(nll[2]) == 0.0
+    assert float(nll[0]) > 0.0
