@@ -112,12 +112,203 @@ def transcribe_with_fallback(
     return ["" if t is None else t for t in texts]
 
 
+def _jitted_window(cfg, P, sot_distance, max_tokens, with_timestamps, temperature):
+    from ssak_tpu.models import whisper
+
+    key = ("window", cfg, P, sot_distance, max_tokens, with_timestamps, float(temperature))
+    if key not in _DECODE_CACHE:
+        _DECODE_CACHE[key] = jax.jit(
+            lambda p, mel, prompt, plen, k: whisper.decode_window(
+                p, mel, prompt, plen, cfg, sot_distance=sot_distance,
+                max_tokens=max_tokens, with_timestamps=with_timestamps,
+                temperature=temperature, key=k,
+            )
+        )
+    return _DECODE_CACHE[key]
+
+
+def parse_timestamp_segments(toks, ts_begin: int, precision: float, chunk_dur: float):
+    """Split one window's generated tokens into timestamped segments, the way
+    openai-whisper's transcribe loop does (reference drives it via
+    ssak/infer/whisper_infer.py:79-82).
+
+    Returns (segments, consumed, advance): segments is a list of
+    (start_s, end_s, token_ids) relative to the window start; consumed is the
+    token prefix to keep for conditioning; advance is how far (seconds) to
+    move the seek pointer (None = advance the full window).
+    """
+    is_ts = [t >= ts_begin for t in toks]
+    # indices of the SECOND timestamp of each consecutive <ts><ts> pair
+    cuts = [i for i in range(1, len(toks)) if is_ts[i] and is_ts[i - 1]]
+    if cuts:
+        segments, prev = [], 0
+        for cut in cuts:
+            seg = toks[prev:cut]
+            start = (seg[0] - ts_begin) * precision
+            end = (seg[-1] - ts_begin) * precision
+            segments.append((start, end, [t for t in seg if t < ts_begin]))
+            prev = cut
+        advance = (toks[cuts[-1] - 1] - ts_begin) * precision
+        return segments, toks[: cuts[-1]], advance
+    # no complete pair: one segment covering the window (or up to the last
+    # timestamp if the model emitted one), full-window advance
+    duration = chunk_dur
+    ts_list = [t for t, b in zip(toks, is_ts) if b]
+    if ts_list and ts_list[-1] != ts_begin:
+        duration = (ts_list[-1] - ts_begin) * precision
+    start = (ts_list[0] - ts_begin) * precision if ts_list else 0.0
+    return [(start, duration, [t for t in toks if t < ts_begin])], list(toks), None
+
+
+def transcribe_longform(
+    model,
+    audio,
+    language: str = None,
+    task: str = "transcribe",
+    with_timestamps: bool = True,
+    condition_on_previous_text: bool = True,
+    no_speech_threshold: float = 0.6,
+    logprob_threshold: float = -1.0,
+    compression_ratio_threshold: float = 2.4,
+    temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    max_tokens: int = None,
+    seed: int = 0,
+    decode_fn=None,
+    sample_rate: int = 16000,
+):
+    """Long-form transcription with the openai-whisper transcribe-loop
+    semantics the reference exposes (ssak/infer/whisper_infer.py:79-82,
+    :314-332): timestamp-driven window advance with last-segment carryover,
+    condition_on_previous_text prompting, per-window temperature fallback,
+    and the no_speech/logprob silence skip.
+
+    audio: 1-D float array at `sample_rate`. Returns a dict
+    {"text", "segments", "language"}; each segment carries start/end seconds,
+    token ids, and the decode diagnostics.
+
+    decode_fn(mel, prompt_buf, prompt_len, temperature, step_seed) ->
+    (token_list, sum_logprob, no_speech_prob) may be injected for testing;
+    default runs the jitted decode_window program.
+    """
+    import jax as _jax
+
+    cfg = model.cfg
+    tok = model.tokenizer
+    if tok is not None:
+        sot_seq = tok.sot_sequence(language=language, task=task, timestamps=with_timestamps)
+        eot, sot_prev, ts_begin = tok.eot, tok.sot_prev, tok.timestamp_begin
+    else:  # seeded test model
+        sot_seq = [cfg.sot] + ([] if with_timestamps else [cfg.no_timestamps])
+        eot, sot_prev, ts_begin = cfg.eot, cfg.sot_prev, cfg.timestamp_begin
+
+    window_samples = cfg.n_audio_ctx * 2 * 160
+    precision = 2 * 160 / sample_rate  # seconds per timestamp unit (0.02 s)
+    if condition_on_previous_text:
+        P = cfg.n_text_ctx // 2 + len(sot_seq)  # [sot_prev] + capped prev + sot_seq
+    else:
+        P = len(sot_seq)
+    budget = cfg.n_text_ctx - P
+    if max_tokens:
+        budget = min(budget, max_tokens)
+    max_prev = P - 1 - len(sot_seq)
+
+    def default_decode(mel, buf, plen, temperature, step_seed):
+        fn = _jitted_window(cfg, P, len(sot_seq), budget, with_timestamps, temperature)
+        tokens, lengths, sum_lp, nsp = fn(
+            model.params, mel, jnp.asarray(buf), jnp.asarray([plen], jnp.int32),
+            _jax.random.PRNGKey(step_seed),
+        )
+        toks = [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]]
+        return toks, float(sum_lp[0]), float(nsp[0])
+
+    decode = decode_fn or default_decode
+
+    def decode_text(ids):
+        return model.tokenizer.decode(ids) if tok is not None else " ".join(str(i) for i in ids if i < ts_begin)
+
+    audio = np.asarray(audio, np.float32)
+    n = len(audio)
+    seek = 0
+    all_tokens: list = []
+    prompt_reset_since = 0
+    segments = []
+    while seek < n:
+        chunk = audio[seek : seek + window_samples]
+        chunk_dur = len(chunk) / sample_rate
+        window_offset = seek / sample_rate
+        mel = log_mel_spectrogram(
+            jnp.asarray(pad_or_trim(jnp.asarray(chunk), window_samples))[None], n_mels=cfg.n_mels
+        )
+        prev = all_tokens[prompt_reset_since:] if condition_on_previous_text else []
+        prev = prev[-max_prev:] if (prev and max_prev > 0) else []
+        ids = ([sot_prev] + prev if prev else []) + sot_seq
+        buf = np.full((1, P), eot, np.int32)
+        buf[0, P - len(ids):] = ids
+
+        toks, avg_lp, nsp, text, temp_used = [], 0.0, 0.0, "", temperatures[0]
+        for ti, temp in enumerate(temperatures):
+            toks, sum_lp, nsp = decode(mel, buf, len(ids), temp, seed + ti + seek)
+            toks = [t for t in toks if t != eot]
+            avg_lp = sum_lp / (len(toks) + 1)
+            text = decode_text(toks)
+            temp_used = temp
+            ok = (
+                compression_ratio(text) <= compression_ratio_threshold
+                and avg_lp >= logprob_threshold
+            )
+            if ok:
+                break
+        # silence skip: confident no-speech AND weak transcription evidence
+        if (
+            no_speech_threshold is not None
+            and nsp > no_speech_threshold
+            and avg_lp < logprob_threshold
+        ):
+            seek += len(chunk)
+            continue
+
+        if with_timestamps:
+            raw_segs, consumed, advance = parse_timestamp_segments(toks, ts_begin, precision, chunk_dur)
+        else:
+            raw_segs, consumed, advance = [(0.0, chunk_dur, list(toks))], list(toks), None
+
+        for start, end, seg_ids in raw_segs:
+            seg_text = decode_text(seg_ids)
+            if not seg_text.strip():
+                continue
+            segments.append({
+                "id": len(segments),
+                "seek": seek,
+                "start": window_offset + start,
+                "end": window_offset + end,
+                "text": seg_text,
+                "tokens": seg_ids,
+                "temperature": temp_used,
+                "avg_logprob": avg_lp,
+                "compression_ratio": compression_ratio(text),
+                "no_speech_prob": nsp,
+            })
+        all_tokens.extend(consumed)
+        if temp_used > 0.5:
+            # unreliable window: do not condition the next one on it
+            prompt_reset_since = len(all_tokens)
+        if advance is None or advance <= 0:
+            seek += len(chunk)
+        else:
+            seek += max(int(advance * sample_rate), 2 * 160)
+
+    joined = "".join(s["text"] for s in segments) if tok is not None else " ".join(s["text"] for s in segments)
+    return {"text": joined.strip(), "segments": segments, "language": language}
+
+
 def whisper_transcribe_batch(
     model, batch, language: str = None, task: str = "transcribe", max_tokens: int = 224,
-    beam_size: int = 0, temperature_fallback: bool = False,
+    beam_size: int = 0, temperature_fallback: bool = False, longform: bool = True,
 ):
     """batch: list of 1-D float32 arrays at 16 kHz -> list of transcripts.
-    Utterances longer than 30 s are windowed and window texts joined.
+    Utterances longer than one encoder window (30 s) go through the
+    long-form transcribe loop (timestamp-driven seek + conditioning +
+    silence skip); short ones decode as one batched window.
     beam_size>1 / temperature_fallback enable the 'accurate' decode chain."""
     from ssak_tpu.models import whisper
 
@@ -134,9 +325,24 @@ def whisper_transcribe_batch(
     window_samples = cfg.n_audio_ctx * 2 * 160
     max_tokens = min(max_tokens, cfg.n_text_ctx - len(prompt) - 1)
 
-    # split long utterances into windows, remember origin
+    texts_long = {}
+    if longform:
+        short_batch, short_idx = [], []
+        for bi, a in enumerate(batch):
+            if len(a) > window_samples:
+                texts_long[bi] = transcribe_longform(
+                    model, a, language=language, task=task,
+                    temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if temperature_fallback else (0.0,),
+                )["text"]
+            else:
+                short_batch.append(a)
+                short_idx.append(bi)
+    else:
+        short_batch, short_idx = list(batch), list(range(len(batch)))
+
+    # split remaining long utterances into windows, remember origin
     windows, origins = [], []
-    for bi, a in enumerate(batch):
+    for a, bi in zip(short_batch, short_idx):
         n = max(1, len(a))
         for s in range(0, n, window_samples):
             windows.append(a[s : s + window_samples])
@@ -163,6 +369,8 @@ def whisper_transcribe_batch(
         for gi, piece in enumerate(pieces):
             bi = origins[w0 + gi]
             texts[bi] = (texts[bi] + " " + piece).strip() if piece else texts[bi]
+    for bi, t in texts_long.items():
+        texts[bi] = t
     return texts
 
 
@@ -214,6 +422,7 @@ def cli(argv=None):
                         help="shard model weights over N chips (megatron TP rules)")
     parser.add_argument("--load_in_8bit", action="store_true", help="int8 weight-only quantized decode")
     parser.add_argument("--load_in_4bit", action="store_true", help="int4 weight-only quantized decode")
+    parser.add_argument("--seeded_test_config", default=None, help=argparse.SUPPRESS)  # test hook: random tiny model
     args = parser.parse_args(argv)
     beam = 5 if args.accurate else (0 if args.efficient else args.beam_size)
 
@@ -224,6 +433,7 @@ def cli(argv=None):
             output_ids=args.use_ids, beam_size=beam, temperature_fallback=args.accurate,
             tensor_parallel=args.tensor_parallel,
             quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
+            seeded_test_config=args.seeded_test_config,
         ):
             out.write(f"{item[0]} {item[1]}\n" if args.use_ids else f"{item}\n")
             out.flush()

@@ -35,7 +35,7 @@ class WhisperTokenizer:
             with open(added, encoding="utf-8") as f:
                 self._special.update(json.load(f))
         # special tokens also live in the tokenizer itself
-        for tok in ("<|startoftranscript|>", "<|endoftext|>", "<|transcribe|>", "<|translate|>", "<|notimestamps|>", "<|nospeech|>"):
+        for tok in ("<|startoftranscript|>", "<|endoftext|>", "<|transcribe|>", "<|translate|>", "<|notimestamps|>", "<|nospeech|>", "<|startofprev|>", "<|nocaptions|>"):
             tid = self.tk.token_to_id(tok)
             if tid is not None:
                 self._special[tok] = tid
@@ -54,6 +54,21 @@ class WhisperTokenizer:
     @property
     def no_timestamps(self):
         return self.token_id("<|notimestamps|>")
+
+    @property
+    def sot_prev(self):
+        return self.token_id("<|startofprev|>")
+
+    @property
+    def no_speech(self):
+        # large-v3-era checkpoints call it <|nospeech|>, older ones <|nocaptions|>
+        return self.token_id("<|nospeech|>") or self.token_id("<|nocaptions|>")
+
+    @property
+    def timestamp_begin(self):
+        # first timestamp token <|0.00|> follows <|notimestamps|>
+        tid = self.token_id("<|0.00|>")
+        return tid if tid is not None else (self.no_timestamps + 1)
 
     def language_token(self, language: str):
         tid = self.token_id(f"<|{language}|>")

@@ -36,6 +36,9 @@ class WhisperConfig:
     sot: int = 50258
     eot: int = 50257
     no_timestamps: int = 50363
+    sot_prev: int = 50361
+    no_speech: int = 50362
+    timestamp_begin: int = 50364
     dtype: str = "bfloat16"
 
     @property
@@ -51,7 +54,7 @@ PRESETS = {
     "large-v2": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32, n_text_state=1280, n_text_head=20, n_text_layer=32),
     "large-v3": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32, n_text_state=1280, n_text_head=20, n_text_layer=32, n_mels=128, n_vocab=51866),
     # seeded micro-config for tests (no pretrained weights needed)
-    "tiny_test": dict(n_audio_state=64, n_audio_head=2, n_audio_layer=2, n_text_state=64, n_text_head=2, n_text_layer=2, n_vocab=128, n_audio_ctx=100, n_text_ctx=32, n_mels=80, sot=1, eot=2, no_timestamps=3),
+    "tiny_test": dict(n_audio_state=64, n_audio_head=2, n_audio_layer=2, n_text_state=64, n_text_head=2, n_text_layer=2, n_vocab=128, n_audio_ctx=100, n_text_ctx=32, n_mels=80, sot=1, eot=2, no_timestamps=3, sot_prev=4, no_speech=5, timestamp_begin=100),
 }
 
 
@@ -348,6 +351,202 @@ def beam_decode(params, mel, cfg: WhisperConfig, prompt, beam_size: int = 5, max
     best = jnp.argmax(scores / norm, axis=1)  # (B,)
     tokens = jnp.take_along_axis(tokens_hist, best[:, None, None], axis=1)[:, 0]
     return tokens, jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0], jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+
+
+# --- long-form window decode (openai-whisper transcribe-loop semantics) ----
+
+
+def _decode_step_padded(params, token, pos_idx, slot, pad_len, caches, cross_kvs, cfg: WhisperConfig):
+    """Cached decoder step with per-utterance positions and left-padding.
+
+    Supports right-aligned prompts of varying true length inside ONE static
+    buffer: token (B, 1) is written at cache slot `slot` (scalar); its
+    positional-embedding index is `pos_idx` (B,) (= slot - pad_len, i.e. the
+    utterance-local position); attention masks out the `pad_len` (B,) unused
+    left slots. Counterpart of the reference's variable-length
+    condition_on_previous_text prompts (ssak/infer/whisper_infer.py:82 via
+    openai-whisper transcribe), restructured so every window reuses one
+    compiled program regardless of prompt length.
+    """
+    dt = cfg.compute_dtype
+    dec = params["decoder"]
+    pos_emb = dec["positional_embedding"][jnp.clip(pos_idx, 0, cfg.n_text_ctx - 1)][:, None, :]
+    x = dec["token_embedding"][token] + pos_emb
+    Tk = cfg.n_text_ctx
+    t = jnp.arange(Tk)
+    kmask = (t[None, None, None, :] <= slot) & (t[None, None, None, :] >= pad_len[:, None, None, None])
+    new_caches = []
+    for blk, cache, cross_kv in zip(dec["blocks"], caches, cross_kvs):
+        h, self_c = L.mha(
+            L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
+            mask=kmask, cache=cache, cache_index=slot, dtype=dt,
+        )
+        x = x + h
+        xq = L.layer_norm(x, blk["cross_attn_ln"])
+        q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
+        y = L.attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+        x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
+        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+        new_caches.append(self_c)
+    x = L.layer_norm(x, dec["ln"])
+    logits = jnp.matmul(x.astype(dt), dec["token_embedding"].T.astype(dt), preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32)[:, 0], new_caches
+
+
+_NEG = -1e30
+
+
+def _apply_decode_rules(
+    logits, cfg: WhisperConfig, *, with_timestamps: bool, is_first: bool,
+    last_was_ts=None, penult_was_ts=None, max_ts=None,
+    max_initial_timestamp_index: int = 50,
+):
+    """Vectorized openai-whisper logit filters (SuppressTokens +
+    ApplyTimestampRules), per batch row. All state args are (B,) arrays."""
+    V = logits.shape[-1]
+    ids = jnp.arange(V)
+    # always-suppressed specials (the reference relies on openai-whisper's
+    # SuppressTokens list; these are the structural ones)
+    for t in (cfg.sot, cfg.sot_prev, cfg.no_speech, cfg.no_timestamps):
+        if t < V:
+            logits = logits.at[:, t].set(_NEG)
+    is_ts = ids >= cfg.timestamp_begin  # (V,)
+    if not with_timestamps:
+        return jnp.where(is_ts[None, :], _NEG, logits)
+
+    text_tok = (~is_ts) & (ids != cfg.eot)
+    if is_first:
+        # first sampled token must be a timestamp, capped at
+        # max_initial_timestamp (openai transcribe default 1.0 s -> idx 50)
+        logits = jnp.where(~is_ts[None, :], _NEG, logits)
+        last_allowed = cfg.timestamp_begin + max_initial_timestamp_index
+        logits = jnp.where(ids[None, :] > last_allowed, _NEG, logits)
+    else:
+        # timestamps come in pairs: after <ts><ts> force text; after a single
+        # <ts> force timestamp-or-eot
+        pair_done = last_was_ts & penult_was_ts
+        pair_open = last_was_ts & ~penult_was_ts
+        logits = jnp.where(pair_done[:, None] & is_ts[None, :], _NEG, logits)
+        logits = jnp.where(pair_open[:, None] & text_tok[None, :], _NEG, logits)
+        # monotonic timestamps: when closing a pair the end may equal the
+        # start; otherwise the next timestamp must strictly increase
+        min_allowed = max_ts + jnp.where(pair_open, 0, 1)
+        ts_offset = ids - cfg.timestamp_begin
+        logits = jnp.where(is_ts[None, :] & (ts_offset[None, :] < min_allowed[:, None]), _NEG, logits)
+    # if the total timestamp probability outweighs any single text token,
+    # the sample must be a timestamp
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.scipy.special.logsumexp(jnp.where(is_ts[None, :], logp, _NEG), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts[None, :], _NEG, logp), axis=-1)
+    force_ts = ts_logprob > max_text
+    logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], _NEG, logits)
+    return logits
+
+
+def decode_window(
+    params, mel, prompt, prompt_len, cfg: WhisperConfig, *,
+    sot_distance: int, max_tokens: int, with_timestamps: bool = False,
+    temperature: float = 0.0, key=None, max_initial_timestamp_index: int = 50,
+):
+    """Full-fidelity single-window decode: the device half of the
+    openai-whisper transcribe loop the reference drives
+    (ssak/infer/whisper_infer.py:79-82, :314-332).
+
+    mel: (B, n_mels, T). prompt: (B, P) int32, RIGHT-aligned (slots
+    [P-prompt_len[b], P) hold [<sot_prev> prev-text...] + sot_sequence, left
+    slots are ignored padding). sot_distance: distance of the <sot> token
+    from the buffer end (= len(sot_sequence)) — logits at that slot give the
+    no-speech probability probe. One compiled program serves every window
+    and every prompt length.
+
+    Returns (tokens (B, max_tokens), lengths, sum_logprob, no_speech_prob):
+    tokens are the generated ids (timestamp tokens included when
+    with_timestamps), eot-padded.
+    """
+    B, P = prompt.shape
+    assert P + max_tokens <= cfg.n_text_ctx, "prompt buffer + budget exceeds text context"
+    pad_len = (P - prompt_len).astype(jnp.int32)  # (B,)
+    audio_features = encode(params, mel, cfg)
+    cross_kvs = precompute_cross_kv(params, audio_features, cfg)
+    caches = init_cache(cfg, B)
+
+    # teacher-force the padded prompt through the cache as a scan; probe the
+    # no-speech logits where <sot> sits (fixed slot: prompts are right-aligned)
+    sot_slot = P - sot_distance
+
+    def prompt_step(carry, j):
+        caches, probe, _last = carry
+        token = jax.lax.dynamic_slice_in_dim(prompt, j, 1, axis=1)
+        logits, caches = _decode_step_padded(params, token, j - pad_len, j, pad_len, caches, cross_kvs, cfg)
+        probe = jnp.where(j == sot_slot, logits, probe)
+        return (caches, probe, logits), None
+
+    zeros = jnp.zeros((B, cfg.n_vocab), jnp.float32)
+    (caches, probe_logits, last_logits), _ = jax.lax.scan(
+        prompt_step, (caches, zeros, zeros), jnp.arange(P)
+    )
+    no_speech_prob = jax.nn.softmax(probe_logits, axis=-1)[:, cfg.no_speech]
+
+    def pick(logits, k):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if temperature > 0:
+            tok = jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tok, jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    false = jnp.zeros((B,), bool)
+    first_logits = _apply_decode_rules(
+        last_logits, cfg, with_timestamps=with_timestamps, is_first=True,
+        max_initial_timestamp_index=max_initial_timestamp_index,
+    )
+    k0, key = jax.random.split(key)
+    first, lp0 = pick(first_logits, k0)
+    done0 = first == cfg.eot
+    first_is_ts = (first >= cfg.timestamp_begin) & ~done0
+    # openai semantics: with <2 sampled tokens the penultimate counts as a
+    # timestamp, so the token right after the initial <ts> is forced to text
+    state0 = dict(
+        last_was_ts=first_is_ts,
+        penult_was_ts=~false,
+        max_ts=jnp.where(first_is_ts, first - cfg.timestamp_begin, 0).astype(jnp.int32),
+    )
+
+    def step(carry, inp):
+        token, caches, done, acc, st = carry
+        i, k = inp
+        slot = P + i - 1
+        logits, new_caches = _decode_step_padded(
+            params, token, slot - pad_len, slot, pad_len, caches, cross_kvs, cfg
+        )
+        logits = _apply_decode_rules(
+            logits, cfg, with_timestamps=with_timestamps, is_first=False,
+            last_was_ts=st["last_was_ts"], penult_was_ts=st["penult_was_ts"], max_ts=st["max_ts"],
+        )
+        next_tok, lp = pick(logits, k)
+        next_tok = jnp.where(done, cfg.eot, next_tok)
+        acc = acc + jnp.where(done, 0.0, lp)
+        tok_is_ts = (next_tok >= cfg.timestamp_begin) & ~done
+        new_st = dict(
+            last_was_ts=tok_is_ts,
+            penult_was_ts=st["last_was_ts"] & ~done,
+            max_ts=jnp.where(tok_is_ts, next_tok - cfg.timestamp_begin, st["max_ts"]).astype(jnp.int32),
+        )
+        done = done | (next_tok == cfg.eot)
+        return (next_tok[:, None], new_caches, done, acc, new_st), next_tok
+
+    carry = (first[:, None], caches, done0, lp0, state0)
+    if max_tokens > 1:
+        keys = jax.random.split(key, max_tokens - 1)
+        carry, rest = jax.lax.scan(step, carry, (jnp.arange(1, max_tokens), keys))
+        tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    else:
+        tokens = first[:, None]
+    sum_logprob = carry[3]
+    lengths = jnp.sum(tokens != cfg.eot, axis=1)
+    return tokens, lengths, sum_logprob, no_speech_prob
 
 
 def cross_entropy_loss(logits, targets, mask):
