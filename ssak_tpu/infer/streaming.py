@@ -91,8 +91,11 @@ async def _handle_connection(ws, model):
         if isinstance(msg, (bytes, bytearray)):
             if decoder is None:
                 decoder = StreamingCTCDecoder(model)
-            if decoder.accept_waveform(msg):
-                await ws.send(json.dumps({"partial": decoder.partial_result()}, ensure_ascii=False))
+            decoder.accept_waveform(msg)
+            # the LinTO/Vosk protocol replies to EVERY audio chunk — the
+            # reference client recv()s after each send (linstt.py:313-320)
+            # and would deadlock otherwise
+            await ws.send(json.dumps({"partial": decoder.partial_result()}, ensure_ascii=False))
         else:
             data = json.loads(msg)
             if "config" in data:

@@ -40,6 +40,10 @@ class WhisperConfig:
     no_speech: int = 50362
     timestamp_begin: int = 50364
     dtype: str = "bfloat16"
+    # rematerialize each transformer block in the backward pass (trades
+    # ~1/3 more FLOPs for O(layers) less activation HBM — how large-v3
+    # training fits on one chip)
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -123,10 +127,16 @@ def encode(params, mel, cfg: WhisperConfig):
     T = x.shape[1]
     pos = L.sinusoid_position_embedding(cfg.n_audio_ctx, cfg.n_audio_state)
     x = x + jnp.asarray(pos)[:T]
-    for blk in params["encoder"]["blocks"]:
+
+    def block(blk, x):
         h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_audio_head, dtype=dt)
         x = x + h
-        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+        return x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for blk in params["encoder"]["blocks"]:
+        x = block(blk, x)
     return L.layer_norm(x, params["encoder"]["ln_post"])
 
 
@@ -137,12 +147,18 @@ def decode_train(params, tokens, audio_features, cfg: WhisperConfig):
     U = tokens.shape[1]
     x = dec["token_embedding"][tokens] + dec["positional_embedding"][:U]
     mask = L.causal_mask(U, U)
-    for blk in dec["blocks"]:
+
+    def block(blk, x, audio_features):
         h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head, mask=mask, dtype=dt)
         x = x + h
         h, _ = L.mha(L.layer_norm(x, blk["cross_attn_ln"]), blk["cross_attn"], cfg.n_text_head, kv_x=audio_features, dtype=dt)
         x = x + h
-        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+        return x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for blk in dec["blocks"]:
+        x = block(blk, x, audio_features)
     x = L.layer_norm(x, dec["ln"])
     logits = jnp.matmul(x.astype(dt), dec["token_embedding"].T.astype(dt), preferred_element_type=jnp.float32)
     return logits.astype(jnp.float32)

@@ -99,3 +99,58 @@ def test_websocket_roundtrip(model, reference_data_dir):
 
     text = asyncio.run(run())
     assert isinstance(text, str) and len(text) > 0
+
+
+def test_protocol_schema_golden(model, reference_data_dir):
+    """Raw-websocket conformance against the pinned LinTO schema golden
+    (tests/expected/streaming_protocol.json): drives the server exactly the
+    way the reference client does (ssak/utils/linstt.py:283-350) — a
+    blocking recv() after EVERY chunk send — so a server that only replies
+    per decoded block would deadlock this test."""
+    import json
+
+    from ssak_tpu.audio import array_to_bytes, load_audio
+    from ssak_tpu.infer.streaming import serve_streaming
+
+    with open(os.path.join(os.path.dirname(__file__), "expected", "streaming_protocol.json")) as f:
+        schema = json.load(f)
+
+    audio = load_audio(os.path.join(reference_data_dir, "audio", "bonjour.wav"), sample_rate=16000)
+
+    async def run():
+        import websockets
+
+        server = await serve_streaming(model, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        replies, final, closed_ok = [], None, False
+        try:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send(json.dumps(schema["client_config"]))
+                chunk = 2048
+                for i in range(0, len(audio), chunk):
+                    await ws.send(array_to_bytes(audio[i : i + chunk]))
+                    # reference client blocks here; 5 s turns deadlock into failure
+                    msg = await asyncio.wait_for(ws.recv(), timeout=5.0)
+                    replies.append(json.loads(msg))
+                await ws.send(json.dumps(schema["client_eof"]))
+                final = json.loads(await asyncio.wait_for(ws.recv(), timeout=5.0))
+                try:
+                    await asyncio.wait_for(ws.recv(), timeout=5.0)
+                except websockets.ConnectionClosedOK:
+                    closed_ok = True
+        finally:
+            server.close()
+            await server.wait_closed()
+        return replies, final, closed_ok
+
+    replies, final, closed_ok = asyncio.run(run())
+    allowed = set(schema["per_chunk_reply"]["exactly_one_key_of"])
+    assert replies, "server must reply to every chunk"
+    for r in replies:
+        assert isinstance(r, dict) and len(r) == 1
+        (key,) = r.keys()
+        assert key in allowed
+        assert isinstance(r[key], str)
+    assert isinstance(final, dict) and set(final.keys()) == {schema["final_reply"]["key"]}
+    assert isinstance(final["text"], str)
+    assert closed_ok, "server must close the connection after the final text"

@@ -101,3 +101,55 @@ def test_file_inputs(tmp_path):
     r = compute_wer(str(ref), str(hyp))
     assert r["count"] == 4
     assert r["wer"] == 0.25
+
+
+def test_align_tokens_brute_force_parity():
+    """The vectorized prefix-min DP row must equal the textbook O(n*m)
+    recurrence on random token sequences (including empty sides)."""
+    import numpy as np
+
+    from ssak_tpu.eval.wer import align_tokens
+
+    def brute(ref, hyp):
+        n, m = len(ref), len(hyp)
+        D = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n + 1):
+            D[i][0] = i
+        for j in range(m + 1):
+            D[0][j] = j
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i][j] = min(D[i - 1][j - 1] + (ref[i - 1] != hyp[j - 1]), D[i - 1][j] + 1, D[i][j - 1] + 1)
+        return D[n][m]
+
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        n, m = rng.randint(0, 18, 2)
+        ref = [str(t) for t in rng.randint(0, 6, n)]
+        hyp = [str(t) for t in rng.randint(0, 6, m)]
+        d, ops = align_tokens(ref, hyp)
+        assert d == brute(ref, hyp)
+        assert sum(1 for op, _i, _j in ops if op in "SDI") == d
+
+
+def test_align_tokens_corpus_scale():
+    """Corpus-scale scoring stays fast: 10k utterance pairs in seconds
+    (the Python-inner-loop DP took minutes)."""
+    import time
+
+    import numpy as np
+
+    from ssak_tpu.eval.wer import align_tokens
+
+    rng = np.random.RandomState(1)
+    pairs = []
+    for _ in range(10000):
+        n = rng.randint(5, 30)
+        ref = [str(t) for t in rng.randint(0, 50, n)]
+        hyp = [str(t) if rng.rand() > 0.2 else str(rng.randint(0, 50)) for t in ref]
+        pairs.append((ref, hyp))
+    t0 = time.perf_counter()
+    total = sum(align_tokens(r, h)[0] for r, h in pairs)
+    dt = time.perf_counter() - t0
+    assert total > 0
+    assert dt < 30.0, f"10k pairs took {dt:.1f}s"
