@@ -1,7 +1,11 @@
-"""Benchmark: wav2vec2-base CTC fine-tune throughput (fwd+bwd+AdamW).
+"""Benchmarks: CTC train (headline), Whisper large-v3 LoRA train, Whisper
+large-v3 batched greedy decode, CTC beam decode — each reported with achieved
+model TFLOP/s and MFU (ssak_tpu.utils.flops analytic accounting vs chip peak).
 
-Prints ONE JSON line:
-  {"metric": "ctc_train_audio_s_per_s", "value": N, "unit": "audio_seconds/s/chip", "vs_baseline": N}
+Prints one JSON line per metric; the HEADLINE line (CTC train) is printed
+LAST:
+  {"metric": "ctc_train_audio_s_per_s", "value": N, "unit": "audio_seconds/s/chip",
+   "vs_baseline": N, "tflops": N, "mfu": N}
 
 Methodology: N_INNER train steps fused into ONE compiled program
 (lax.fori_loop — how a production TPU loop runs), timed over several calls
@@ -31,12 +35,38 @@ LABEL_LEN = 48
 N_INNER = 10
 TIMED_CALLS = 3
 
+# Whisper large-v3 shapes (synthetic weights; fidelity to the reference's
+# --load_in_8bit/4bit + LoRA large fine-tune path, whisper_train.py)
+W_BATCH = 4
+W_TOKENS = 224
+W_DEC_BATCH = 8
+W_DEC_TOKENS = 64
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_jax():
+def _peak():
+    from ssak_tpu.utils.flops import tpu_peak_flops
+
+    try:
+        return tpu_peak_flops()
+    except Exception:
+        return None
+
+
+def _line(metric, value, unit, model_flops_per_s=None, vs_baseline=None):
+    peak = _peak()
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit, "vs_baseline": vs_baseline}
+    if model_flops_per_s is not None:
+        rec["tflops"] = round(model_flops_per_s / 1e12, 1)
+        if peak:
+            rec["mfu"] = round(model_flops_per_s / peak, 3)
+    return rec
+
+
+def bench_ctc_train():
     import jax
     import jax.numpy as jnp
     import optax
@@ -44,6 +74,7 @@ def bench_jax():
     from ssak_tpu.models import wav2vec2
     from ssak_tpu.ops.ctc_pallas import ctc_loss_fast as ctc_loss
     from ssak_tpu.train.steps import init_train_state, make_optimizer
+    from ssak_tpu.utils.flops import wav2vec2_train_flops_per_audio_second
 
     cfg = wav2vec2.make_config("base", vocab_size=48)
     params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
@@ -80,20 +111,135 @@ def bench_jax():
         st = jax.lax.fori_loop(0, N_INNER, body, {**state, "loss": jnp.float32(0)})
         return {k: st[k] for k in ("params", "opt_state", "step")}, st["loss"]
 
-    log(f"jax devices: {jax.devices()}")
     state, loss = train_n(state, batch)  # compile + warmup
     loss0 = float(loss)
     assert np.isfinite(loss0) and loss0 > 0, f"degenerate warmup loss: {loss0}"
-    log(f"warmup: loss={loss0:.4f}")
+    log(f"ctc train warmup: loss={loss0:.4f}")
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         state, loss = train_n(state, batch)
         lv = float(loss)  # value fetch = true synchronization
     dt = time.perf_counter() - t0
     steps = N_INNER * TIMED_CALLS
-    log(f"jax: {steps} steps in {dt:.2f}s ({dt/steps*1000:.1f} ms/step), final loss={lv:.3f}")
+    log(f"ctc train: {steps} steps in {dt:.2f}s ({dt/steps*1000:.1f} ms/step), final loss={lv:.3f}")
     assert np.isfinite(lv)
-    return BATCH * SECONDS * steps / dt
+    audio_s_per_s = BATCH * SECONDS * steps / dt
+    flops_per_s = audio_s_per_s * wav2vec2_train_flops_per_audio_second(cfg)
+    return audio_s_per_s, flops_per_s
+
+
+def bench_whisper_lora_train():
+    """Whisper large-v3 dims, frozen bf16 base + LoRA adapters (the
+    reference's large-model fine-tune path), block remat to fit one chip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ssak_tpu.models import whisper
+    from ssak_tpu.models.lora import add_lora
+    from ssak_tpu.train.steps import make_whisper_train_step
+    from ssak_tpu.utils.flops import WhisperStepShape, whisper_train_flops_per_step
+
+    cfg = whisper.make_config("large-v3", remat=True)
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)  # frozen base
+    params = add_lora(params, rank=16, key=jax.random.PRNGKey(1))
+    opt = optax.adamw(1e-4)
+    step = make_whisper_train_step(cfg, opt, quantized=True)  # partitioned: LoRA trains, base frozen
+
+    from ssak_tpu.models.quant import partition_trainable
+
+    trainable, _ = partition_trainable(params)
+    rng = np.random.RandomState(0)
+    n_frames = cfg.n_audio_ctx * 2
+    window_s = n_frames * 160 / SR
+    batch = {
+        "mel": jnp.asarray(rng.randn(W_BATCH, cfg.n_mels, n_frames).astype(np.float32) * 0.1),
+        "tokens_in": jnp.asarray(rng.randint(0, cfg.n_vocab, (W_BATCH, W_TOKENS)), jnp.int32),
+        "tokens_out": jnp.asarray(rng.randint(0, cfg.n_vocab, (W_BATCH, W_TOKENS)), jnp.int32),
+        "token_mask": jnp.ones((W_BATCH, W_TOKENS), jnp.float32),
+    }
+    state = {"params": params, "opt_state": opt.init(trainable), "step": jnp.int32(0)}
+    state, metrics = step(state, batch)  # compile + warmup
+    l0 = float(metrics["loss"])
+    assert np.isfinite(l0), f"warmup loss {l0}"
+    log(f"whisper lora train warmup: loss={l0:.3f}")
+    calls = 3
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        state, metrics = step(state, batch)
+        lv = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    log(f"whisper lora train: {dt/calls*1000:.0f} ms/step, loss={lv:.3f}")
+    audio_s_per_s = W_BATCH * window_s * calls / dt
+    flops = whisper_train_flops_per_step(cfg, WhisperStepShape(W_BATCH, n_frames, W_TOKENS))
+    return audio_s_per_s, flops * calls / dt
+
+
+def bench_whisper_decode():
+    """Whisper large-v3 batched greedy decode, 30 s windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssak_tpu.models import whisper
+    from ssak_tpu.utils.flops import whisper_decode_flops_per_window
+
+    cfg = whisper.make_config("large-v3")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.RandomState(0)
+    n_frames = cfg.n_audio_ctx * 2
+    window_s = n_frames * 160 / SR
+    mel = jnp.asarray(rng.randn(W_DEC_BATCH, cfg.n_mels, n_frames).astype(np.float32) * 0.1)
+    prompt = [cfg.sot, cfg.no_timestamps]
+
+    fn = jax.jit(lambda p, m: whisper.greedy_decode(p, m, cfg, prompt, max_tokens=W_DEC_TOKENS))
+    toks, lens = fn(params, mel)
+    int(np.asarray(lens)[0])
+    calls = 3
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        toks, lens = fn(params, mel)
+    _ = int(np.asarray(lens).sum())  # sync
+    dt = time.perf_counter() - t0
+    log(f"whisper decode: {dt/calls*1000:.0f} ms/batch of {W_DEC_BATCH}x{window_s:.0f}s")
+    audio_s_per_s = W_DEC_BATCH * window_s * calls / dt
+    flops = W_DEC_BATCH * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
+    return audio_s_per_s, flops * calls / dt
+
+
+def bench_ctc_beam_decode():
+    """wav2vec2-base forward + on-device CTC beam search (beam 16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.utils.flops import ctc_decode_flops_per_audio_second
+
+    cfg = wav2vec2.make_config("base", vocab_size=48)
+    params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    T = SECONDS * SR
+    audio = jnp.asarray(rng.randn(BATCH, T).astype(np.float32) * 0.1)
+    lens = jnp.full((BATCH,), T, jnp.int32)
+
+    @jax.jit
+    def logits_fn(params, audio, lens):
+        return wav2vec2.ctc_log_probs(params, audio, cfg, lens)
+
+    lp, fl = logits_fn(params, audio, lens)
+    ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id)  # warm
+    calls = 3
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        lp, fl = logits_fn(params, audio, lens)
+        toks, tl = ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id)
+    _ = int(np.asarray(tl).sum())  # sync
+    dt = time.perf_counter() - t0
+    log(f"ctc beam16 decode: {dt/calls*1000:.0f} ms/batch")
+    audio_s_per_s = BATCH * SECONDS * calls / dt
+    return audio_s_per_s, audio_s_per_s * ctc_decode_flops_per_audio_second(cfg)
 
 
 def bench_torch_cpu_baseline():
@@ -134,19 +280,31 @@ def bench_torch_cpu_baseline():
 
 
 def main():
-    value = bench_jax()
+    import jax
+
+    log(f"jax devices: {jax.devices()}")
+    lines = []
+    for name, fn, metric in (
+        ("whisper_lora_train", bench_whisper_lora_train, "whisper_large3_lora_train_audio_s_per_s"),
+        ("whisper_decode", bench_whisper_decode, "whisper_large3_greedy_decode_audio_s_per_s"),
+        ("ctc_beam_decode", bench_ctc_beam_decode, "ctc_beam16_decode_audio_s_per_s"),
+    ):
+        try:
+            value, flops_per_s = fn()
+            lines.append(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
+        except Exception as e:
+            log(f"{name} failed: {type(e).__name__}: {e}")
+
+    value, flops_per_s = bench_ctc_train()
     try:
         baseline = bench_torch_cpu_baseline()
     except Exception as e:
         log(f"baseline measurement failed: {e}")
         baseline = None
     vs = round(value / baseline, 3) if baseline else None
-    print(json.dumps({
-        "metric": "ctc_train_audio_s_per_s",
-        "value": round(value, 2),
-        "unit": "audio_seconds/s/chip",
-        "vs_baseline": vs,
-    }))
+    lines.append(_line("ctc_train_audio_s_per_s", value, "audio_seconds/s/chip", flops_per_s, vs))
+    for rec in lines:
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
