@@ -173,6 +173,7 @@ def cli(argv=None):
                         help="shard model weights over N chips (megatron TP rules)")
     parser.add_argument("--load_in_8bit", action="store_true", help="int8 weight-only quantized decode")
     parser.add_argument("--load_in_4bit", action="store_true", help="int4 weight-only quantized decode")
+    parser.add_argument("--seeded_test_config", default=None, help=argparse.SUPPRESS)  # test hook: random tiny model
     args = parser.parse_args(argv)
 
     out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
@@ -183,6 +184,7 @@ def cli(argv=None):
             lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width,
             tensor_parallel=args.tensor_parallel,
             quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
+            seeded_test_config=args.seeded_test_config,
         ):
             if args.use_ids:
                 out.write(f"{item[0]} {item[1]}\n")

@@ -111,3 +111,105 @@ def test_char_lm_table():
     assert table.shape == (3, 3)
     # P(b|a) should beat P(a|a)
     assert table[1, 2] > table[1, 1]
+
+
+# --- production-scale device-beam validation (T>=500, V=40, beam 16) --------
+
+
+def _peaky_posteriors(rng, T, V, blank_id=0, peak=4.0, noise=0.7):
+    """Synthetic CTC-like posteriors: a random token/blank path with strong
+    peaks plus noise — the regime real acoustic models emit."""
+    path = np.zeros(T, np.int64)
+    t = 0
+    while t < T:
+        tok = rng.randint(1, V) if rng.rand() < 0.45 else blank_id
+        dur = rng.randint(1, 4)
+        path[t : t + dur] = tok
+        t += dur
+    logits = rng.randn(T, V).astype(np.float32) * noise
+    logits[np.arange(T), path] += peak
+    return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+
+def _host_charlm_beam(lp, beam_width, table, alpha, blank_id=0):
+    """Host oracle with the device's exact semantics: char-LM fused per
+    extension from a dense bigram table, exact prefix merging."""
+    T, V = lp.shape
+    w = table * math.log(10.0) * alpha
+    beams = {(): (0.0, -1e30)}
+    for t in range(T):
+        frame = lp[t]
+        new = {}
+
+        def add(prefix, pb, pnb):
+            ob, onb = new.get(prefix, (-1e30, -1e30))
+            new[prefix] = (np.logaddexp(ob, pb), np.logaddexp(onb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            ptot = np.logaddexp(pb, pnb)
+            last = prefix[-1] if prefix else None
+            add(prefix, ptot + frame[blank_id], -1e30)
+            for c in range(V):
+                if c == blank_id:
+                    continue
+                prev = last if last is not None else 0
+                inc = w[prev, c] if c < w.shape[1] and prev < w.shape[0] else 0.0
+                if c == last:
+                    add(prefix, -1e30, pnb + frame[c])
+                    add(prefix + (c,), -1e30, pb + frame[c] + inc)
+                else:
+                    add(prefix + (c,), -1e30, ptot + frame[c] + inc)
+        beams = dict(sorted(new.items(), key=lambda kv: -np.logaddexp(*kv[1]))[:beam_width])
+    return max(beams.items(), key=lambda kv: np.logaddexp(*kv[1]))[0]
+
+
+def test_device_beam_production_scale_parity():
+    """T=500, V=40, beam 16: the device scan's exact stay-vs-extend merge
+    must reproduce the host prefix beam's top-1 on realistic peaky
+    posteriors (ref transformers_infer.py:272-289 pyctcdecode semantics)."""
+    vocab = ["<pad>"] + [chr(ord("a") + i) for i in range(26)] + [str(d) for d in range(10)] + ["|", "'", "-"]
+    V = len(vocab)
+    assert V == 40
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        T = 500
+        lp = _peaky_posteriors(rng, T, V)
+        host = ctc_prefix_beam_search(lp, vocab, beam_width=16, prune_logp=-20.0)[0][0]
+        toks, lens = ctc_beam_search_device(jnp.asarray(lp[None]), jnp.asarray([T]), beam_width=16)
+        dev = "".join(vocab[t] for t in toks[0][: lens[0]]).replace("|", " ").strip()
+        assert dev == host, f"trial {trial}: {dev!r} != {host!r}"
+
+
+def test_device_beam_hash_merge_statistics():
+    """~100 seeded trials: no collision-caused divergence from the exact
+    host merge (the 32-bit rolling hash is the only approximation left)."""
+    vocab = ["<pad>"] + [chr(ord("a") + i) for i in range(26)] + [str(d) for d in range(10)] + ["|", "'", "-"]
+    V = len(vocab)
+    rng = np.random.RandomState(11)
+    mismatches = 0
+    for trial in range(100):
+        T = 120
+        lp = _peaky_posteriors(rng, T, V)
+        host = ctc_prefix_beam_search(lp, vocab, beam_width=16, prune_logp=-20.0)[0][0]
+        toks, lens = ctc_beam_search_device(jnp.asarray(lp[None]), jnp.asarray([T]), beam_width=16)
+        dev = "".join(vocab[t] for t in toks[0][: lens[0]]).replace("|", " ").strip()
+        mismatches += dev != host
+    assert mismatches == 0, f"{mismatches}/100 trials diverged"
+
+
+def test_device_beam_char_lm_production_scale():
+    """Char-LM fusion at production shapes: device beam with the dense
+    bigram table matches a host oracle implementing the same semantics."""
+    V = 40
+    rng = np.random.RandomState(3)
+    table = (rng.rand(V, V).astype(np.float32) - 0.5) * 2.0  # log10 scores
+    alpha = 0.5
+    for trial in range(3):
+        T = 500
+        lp = _peaky_posteriors(rng, T, V)
+        host_prefix = _host_charlm_beam(lp, 16, table, alpha)
+        toks, lens = ctc_beam_search_device(
+            jnp.asarray(lp[None]), jnp.asarray([T]), beam_width=16, lm_table=table, lm_alpha=alpha
+        )
+        dev = list(int(t) for t in toks[0][: lens[0]])
+        assert dev == list(host_prefix), f"trial {trial}"
