@@ -18,6 +18,9 @@ import jax.numpy as jnp
 class ModelType:
     WAV2VEC2_CTC = "wav2vec2_ctc"
     WHISPER = "whisper"
+    CONFORMER_CTC = "conformer_ctc"
+
+CTC_TYPES = (ModelType.WAV2VEC2_CTC, ModelType.CONFORMER_CTC)
 
 
 class LoadedModel:
@@ -34,7 +37,7 @@ class LoadedModel:
         return 16000
 
     def vocab(self):
-        if self.type == ModelType.WAV2VEC2_CTC:
+        if self.type in CTC_TYPES:
             # padded to the model's logit dimension (config may round the
             # vocab up past the tokenizer size)
             n = max(len(self.tokenizer), getattr(self.cfg, "vocab_size", 0))
@@ -43,6 +46,11 @@ class LoadedModel:
 
 
 def get_model_type(model_dir: str) -> str:
+    # NeMo .nemo archive or extracted dir (model_config.yaml) -> Conformer
+    # (reference loads these via nemo_toolkit, ssak/infer/kaldi_infer.py and
+    # train/nemo/train_utils.py:15)
+    if model_dir.endswith(".nemo") or os.path.exists(os.path.join(model_dir, "model_config.yaml")):
+        return ModelType.CONFORMER_CTC
     with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
         cfg = json.load(f)
     archs = cfg.get("architectures") or []
@@ -81,6 +89,19 @@ def _load_model(model_dir: str, seeded_test_config: str = None) -> LoadedModel:
         params = jax.tree_util.tree_map(_jnp.asarray, params)
         return LoadedModel(mtype, params, cfg, tokenizer)
     mtype = get_model_type(model_dir)
+    if mtype == ModelType.CONFORMER_CTC:
+        from ssak_tpu.models.hf_loader import load_nemo_conformer
+        from ssak_tpu.models.tokenizer import CTCTokenizer
+
+        params, cfg, vocabulary = load_nemo_conformer(model_dir)
+        # NeMo char vocabs use a literal space as the word delimiter and the
+        # blank is the LAST id with no explicit token; BPE vocabs mark word
+        # starts with '▁'. Synthesize an HF-style vocab dict either way.
+        vocab = {tok: i for i, tok in enumerate(vocabulary)}
+        vocab.setdefault("<pad>", cfg.blank_id)
+        delim = "▁" if any(t.startswith("▁") for t in vocabulary) else " "
+        tok = CTCTokenizer(vocab, word_delimiter=delim)
+        return LoadedModel(mtype, params, cfg, tok)
     if mtype == ModelType.WHISPER:
         from ssak_tpu.models.hf_loader import load_whisper
         from ssak_tpu.models.tokenizer import WhisperTokenizer
@@ -126,12 +147,15 @@ def shard_model(model: LoadedModel, model_axis: int = None, mesh=None) -> "Loade
     model_axis defaults to all local devices. Returns the same LoadedModel
     with params re-placed and `.mesh` set."""
     from ssak_tpu.parallel.mesh import make_mesh, shard_params
-    from ssak_tpu.parallel.sharding import WAV2VEC2_RULES, WHISPER_RULES
+    from ssak_tpu.parallel.sharding import CONFORMER_RULES, WAV2VEC2_RULES, WHISPER_RULES
 
     if mesh is None:
         model_axis = model_axis or len(jax.devices())
         mesh = make_mesh(model=model_axis)
-    rules = WHISPER_RULES if model.type == ModelType.WHISPER else WAV2VEC2_RULES
+    rules = {
+        ModelType.WHISPER: WHISPER_RULES,
+        ModelType.CONFORMER_CTC: CONFORMER_RULES,
+    }.get(model.type, WAV2VEC2_RULES)
     model.params = shard_params(model.params, mesh, rules)
     model.mesh = mesh
     return model
@@ -143,15 +167,17 @@ _LOGPROB_CACHE = {}
 def compute_log_probas(model: LoadedModel, audio, lengths=None):
     """CTC log-probs for a batch (B, T) -> ((B, F, V), frame_lengths).
     One compiled program per (config, batch shape), reused across calls."""
-    from ssak_tpu.models import wav2vec2
-
-    assert model.type == ModelType.WAV2VEC2_CTC
+    assert model.type in CTC_TYPES
+    if model.type == ModelType.CONFORMER_CTC:
+        from ssak_tpu.models import conformer as family
+    else:
+        from ssak_tpu.models import wav2vec2 as family
     if lengths is None:
         lengths = jnp.full((audio.shape[0],), audio.shape[1], jnp.int32)
     key = (model.cfg, audio.shape)
     if key not in _LOGPROB_CACHE:
         cfg = model.cfg
-        _LOGPROB_CACHE[key] = jax.jit(lambda p, a, l: wav2vec2.ctc_log_probs(p, a, cfg, l))
+        _LOGPROB_CACHE[key] = jax.jit(lambda p, a, l: family.ctc_log_probs(p, a, cfg, l))
     return _LOGPROB_CACHE[key](model.params, audio, lengths)
 
 
@@ -201,7 +227,7 @@ def load_adapter(model: LoadedModel, model_dir: str, language: str) -> bool:
 def infer(model: LoadedModel, audio_batches, language: str = None, **kwargs):
     """Generator of transcripts over batches of audio arrays (the
     reference's per-backend X_infer() generators unified)."""
-    if model.type == ModelType.WAV2VEC2_CTC:
+    if model.type in CTC_TYPES:
         from ssak_tpu.infer.ctc_infer import ctc_transcribe_batch
 
         for batch in audio_batches:

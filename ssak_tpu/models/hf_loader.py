@@ -298,3 +298,136 @@ def load_wav2vec2(model_dir: str):
     params = jax.tree_util.tree_map(_jnp.asarray, params)
     logger.info(f"loaded wav2vec2 from {model_dir}: d={cfg.hidden_size}, layers={cfg.num_layers}, vocab={cfg.vocab_size}")
     return params, cfg
+
+
+# --- NeMo Conformer ---------------------------------------------------------
+
+
+def _fold_bn(sd, pfx, eps=1e-5):
+    """Eval-mode BatchNorm1d -> per-channel affine {scale, bias}."""
+    w, b = sd[f"{pfx}.weight"], sd[f"{pfx}.bias"]
+    mean, var = sd[f"{pfx}.running_mean"], sd[f"{pfx}.running_var"]
+    scale = w / np.sqrt(var + eps)
+    return {"scale": scale.astype(np.float32), "bias": (b - mean * scale).astype(np.float32)}
+
+
+def _conv2d_t(x):  # torch Conv2d OIHW -> HWIO
+    return np.ascontiguousarray(np.transpose(x, (2, 3, 1, 0)))
+
+
+def nemo_conformer_config(model_cfg: dict):
+    """ConformerConfig from a NeMo model_config.yaml dict (EncDecCTCModel
+    layout — the models the reference's get_base_model starts from,
+    ssak/train/nemo/train_utils.py:15)."""
+    from ssak_tpu.models.conformer import ConformerConfig
+
+    enc = model_cfg["encoder"]
+    dec = model_cfg["decoder"]
+    num_classes = dec.get("num_classes", -1)
+    if num_classes in (None, -1):
+        num_classes = len(dec.get("vocabulary") or model_cfg.get("labels") or [])
+    return ConformerConfig(
+        n_mels=enc.get("feat_in", 80),
+        d_model=enc["d_model"],
+        num_layers=enc["n_layers"],
+        num_heads=enc.get("n_heads", 4),
+        ff_expansion=enc.get("ff_expansion_factor", 4),
+        conv_kernel=enc.get("conv_kernel_size", 31),
+        vocab_size=num_classes + 1,  # NeMo CTC blank is the LAST index
+        blank_id=num_classes,
+        pos_type="relpos",
+        subsampling="striding2d",
+        conv_norm="affine",
+        xscale=bool(enc.get("xscaling", True)),
+        frontend="nemo",
+    )
+
+
+def _read_nemo_archive(path: str):
+    """(model_config_dict, torch_state_dict) from a .nemo tar or a directory
+    holding model_config.yaml + model_weights.ckpt."""
+    import io
+    import tarfile
+
+    import torch
+    import yaml
+
+    if os.path.isdir(path):
+        with open(os.path.join(path, "model_config.yaml"), encoding="utf-8") as f:
+            cfg = yaml.safe_load(f)
+        sd = torch.load(os.path.join(path, "model_weights.ckpt"), map_location="cpu", weights_only=True)
+    else:
+        with tarfile.open(path) as tar:
+            names = tar.getnames()
+
+            def member(suffix):
+                for n in names:
+                    if n.endswith(suffix):
+                        return tar.extractfile(n).read()
+                raise FileNotFoundError(f"{suffix} not in {path}")
+
+            cfg = yaml.safe_load(io.BytesIO(member("model_config.yaml")))
+            sd = torch.load(io.BytesIO(member("model_weights.ckpt")), map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return cfg, sd
+
+
+def load_nemo_conformer(path: str):
+    """Import a NeMo Conformer-CTC checkpoint (.nemo archive or extracted
+    dir) into the ssak_tpu conformer pytree: rel-pos attention with
+    pos_bias_u/v, Conv2d striding subsampling, BatchNorm folded to affine.
+    Counterpart of the reference's pretrained-Parakeet starting point
+    (ssak/train/nemo/train_utils.py:15 get_base_model)."""
+    model_cfg, sd = _read_nemo_archive(path)
+    cfg = nemo_conformer_config(model_cfg)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.layers.{i}"
+        blocks.append({
+            "ff1_ln": _map_ln(sd, f"{p}.norm_feed_forward1"),
+            "ff1": {
+                "fc1": {"kernel": _t(sd[f"{p}.feed_forward1.linear1.weight"]), "bias": sd[f"{p}.feed_forward1.linear1.bias"]},
+                "fc2": {"kernel": _t(sd[f"{p}.feed_forward1.linear2.weight"]), "bias": sd[f"{p}.feed_forward1.linear2.bias"]},
+            },
+            "attn_ln": _map_ln(sd, f"{p}.norm_self_att"),
+            "attn": {
+                "query": {"kernel": _t(sd[f"{p}.self_attn.linear_q.weight"]), "bias": sd[f"{p}.self_attn.linear_q.bias"]},
+                "key": {"kernel": _t(sd[f"{p}.self_attn.linear_k.weight"]), "bias": sd[f"{p}.self_attn.linear_k.bias"]},
+                "value": {"kernel": _t(sd[f"{p}.self_attn.linear_v.weight"]), "bias": sd[f"{p}.self_attn.linear_v.bias"]},
+                "out": {"kernel": _t(sd[f"{p}.self_attn.linear_out.weight"]), "bias": sd[f"{p}.self_attn.linear_out.bias"]},
+                "linear_pos": {"kernel": _t(sd[f"{p}.self_attn.linear_pos.weight"])},
+                "pos_bias_u": sd[f"{p}.self_attn.pos_bias_u"],
+                "pos_bias_v": sd[f"{p}.self_attn.pos_bias_v"],
+            },
+            "conv_ln": _map_ln(sd, f"{p}.norm_conv"),
+            "conv": {
+                "pointwise1": {"kernel": _t(sd[f"{p}.conv.pointwise_conv1.weight"][:, :, 0]), "bias": sd[f"{p}.conv.pointwise_conv1.bias"]},
+                "depthwise": {"kernel": _conv_t(sd[f"{p}.conv.depthwise_conv.weight"]), "bias": sd[f"{p}.conv.depthwise_conv.bias"]},
+                "bn": _fold_bn(sd, f"{p}.conv.batch_norm"),
+                "pointwise2": {"kernel": _t(sd[f"{p}.conv.pointwise_conv2.weight"][:, :, 0]), "bias": sd[f"{p}.conv.pointwise_conv2.bias"]},
+            },
+            "ff2_ln": _map_ln(sd, f"{p}.norm_feed_forward2"),
+            "ff2": {
+                "fc1": {"kernel": _t(sd[f"{p}.feed_forward2.linear1.weight"]), "bias": sd[f"{p}.feed_forward2.linear1.bias"]},
+                "fc2": {"kernel": _t(sd[f"{p}.feed_forward2.linear2.weight"]), "bias": sd[f"{p}.feed_forward2.linear2.bias"]},
+            },
+            "final_ln": _map_ln(sd, f"{p}.norm_out"),
+        })
+
+    params = {
+        "subsampling": {
+            "conv1": {"kernel": _conv2d_t(sd["encoder.pre_encode.conv.0.weight"]), "bias": sd["encoder.pre_encode.conv.0.bias"]},
+            "conv2": {"kernel": _conv2d_t(sd["encoder.pre_encode.conv.2.weight"]), "bias": sd["encoder.pre_encode.conv.2.bias"]},
+            "proj": {"kernel": _t(sd["encoder.pre_encode.out.weight"]), "bias": sd["encoder.pre_encode.out.bias"]},
+        },
+        "blocks": blocks,
+        "lm_head": {"kernel": _t(sd["decoder.decoder_layers.0.weight"][:, :, 0]), "bias": sd["decoder.decoder_layers.0.bias"]},
+    }
+    import jax
+    import jax.numpy as _jnp
+
+    params = jax.tree_util.tree_map(lambda x: _jnp.asarray(np.asarray(x, np.float32)), params)
+    vocab = model_cfg.get("decoder", {}).get("vocabulary") or model_cfg.get("labels") or []
+    logger.info(f"loaded NeMo conformer from {path}: d={cfg.d_model}, layers={cfg.num_layers}, vocab={cfg.vocab_size}")
+    return params, cfg, list(vocab)

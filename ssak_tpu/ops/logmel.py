@@ -30,12 +30,18 @@ def hann_window(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
-def dft_matrices(n_fft: int = N_FFT):
-    """Real/imag DFT matrices (n_fft, n_fft//2+1) with hann pre-applied."""
+def dft_matrices(n_fft: int = N_FFT, win_length: int = None):
+    """Real/imag DFT matrices (n_fft, n_fft//2+1) with hann pre-applied.
+    win_length < n_fft pads the window symmetrically (torch.stft layout)."""
     k = np.arange(n_fft)[:, None]
     f = np.arange(n_fft // 2 + 1)[None, :]
     ang = -2.0 * np.pi * k * f / n_fft
-    w = hann_window(n_fft)[:, None]
+    win_length = win_length or n_fft
+    w = hann_window(win_length)
+    if win_length < n_fft:
+        lo = (n_fft - win_length) // 2
+        w = np.pad(w, (lo, n_fft - win_length - lo))
+    w = w[:, None]
     return (np.cos(ang) * w).astype(np.float32), (np.sin(ang) * w).astype(np.float32)
 
 
@@ -109,6 +115,53 @@ def log_mel_spectrogram(audio, n_mels: int = N_MELS, dtype=None):
     maxval = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
     log_spec = jnp.maximum(log_spec, maxval - 8.0)
     return ((log_spec + 4.0) / 4.0).swapaxes(-2, -1)  # (..., n_mels, frames)
+
+
+def nemo_log_mel_spectrogram(audio, n_mels: int = 80, sample_lengths=None):
+    """NeMo AudioToMelSpectrogramPreprocessor semantics (the features every
+    NeMo Conformer/Parakeet checkpoint was trained on; reference models load
+    this preprocessor from model_config.yaml): pre-emphasis 0.97, 25 ms hann
+    window / 10 ms hop zero-padded to n_fft=512, magnitude² spectrum, slaney
+    mel filterbank, natural log with 2⁻²⁴ zero guard, then PER-FEATURE
+    normalization (mean/std over the valid frames of each utterance, per mel
+    bin, unbiased std + 1e-5 guard).
+
+    audio: (B, T) float32 @16 kHz -> ((B, n_mels, F), frame_lengths (B,))
+    with F = T//hop + 1 (torch.stft center=True frame count). Same
+    matmul-DFT MXU formulation as the Whisper frontend above.
+    """
+    import jax.numpy as jnp
+
+    n_fft, win, hop = 512, 400, 160
+    x = jnp.asarray(audio, jnp.float32)
+    if sample_lengths is None:
+        sample_lengths = jnp.full((x.shape[0],), x.shape[-1], jnp.int32)
+    # zero out samples past each utterance's length so padding never leaks
+    # into pre-emphasis/framing (batch rows are static-shape padded)
+    valid = jnp.arange(x.shape[-1])[None, :] < sample_lengths[:, None]
+    x = jnp.where(valid, x, 0.0)
+    x = jnp.concatenate([x[..., :1], x[..., 1:] - 0.97 * x[..., :-1]], axis=-1)
+
+    cos_m, sin_m = dft_matrices(n_fft, win)
+    pad = n_fft // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - n_fft) // hop  # == T//hop + 1
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = xp[..., idx]
+    re = jnp.matmul(frames, jnp.asarray(cos_m))
+    im = jnp.matmul(frames, jnp.asarray(sin_m))
+    power = re**2 + im**2
+    mel = jnp.matmul(power, jnp.asarray(mel_filterbank(n_mels, n_fft)).T)
+    log_mel = jnp.log(mel + 2.0**-24)  # (B, F, n_mels)
+
+    frame_lengths = jnp.minimum(sample_lengths // hop + 1, n_frames).astype(jnp.int32)
+    fmask = (jnp.arange(n_frames)[None, :] < frame_lengths[:, None])[..., None]
+    n = jnp.maximum(frame_lengths, 1).astype(jnp.float32)[:, None, None]
+    mean = jnp.sum(jnp.where(fmask, log_mel, 0.0), axis=-2, keepdims=True) / n
+    var = jnp.sum(jnp.where(fmask, (log_mel - mean) ** 2, 0.0), axis=-2, keepdims=True) / jnp.maximum(n - 1, 1.0)
+    out = (log_mel - mean) / (jnp.sqrt(var) + 1e-5)
+    out = jnp.where(fmask, out, 0.0)
+    return out.swapaxes(-2, -1), frame_lengths  # (B, n_mels, F)
 
 
 def pad_or_trim(audio, length: int = N_SAMPLES, axis: int = -1):

@@ -37,6 +37,24 @@ WAV2VEC2_RULES = [
     (r"/lm_head/bias$", P("model")),
 ]
 
+# Conformer (NeMo-imported or native): TP the two macaron FFNs and the
+# attention projections; rel-pos machinery shards with the heads
+# (linear_pos column-parallel, pos_bias (H, Dh) on the head dim). The conv
+# module stays replicated — depthwise grouped convs are cheap (O(k·d)) and
+# sharding their channel dim buys nothing at conformer widths.
+CONFORMER_RULES = [
+    (r"/attn/(query|key|value)/kernel$", P(None, "model")),
+    (r"/attn/(query|key|value)/bias$", P("model")),
+    (r"/attn/linear_pos/kernel$", P(None, "model")),
+    (r"/attn/pos_bias_[uv]$", P("model", None)),
+    (r"/attn/out/kernel$", P("model", None)),
+    (r"/(ff1|ff2)/fc1/kernel$", P(None, "model")),
+    (r"/(ff1|ff2)/fc1/bias$", P("model")),
+    (r"/(ff1|ff2)/fc2/kernel$", P("model", None)),
+    (r"/lm_head/kernel$", P(None, "model")),
+    (r"/lm_head/bias$", P("model")),
+]
+
 # expert parallelism: expert-stacked MoE tensors shard their leading E dim
 # on the 'expert' axis (ssak_tpu.parallel.moe); XLA lowers the dispatch/
 # combine einsums to all-to-all over ICI. Composes with the TP rules above
