@@ -41,12 +41,16 @@ def ctc_prefix_beam_search(
     beta: float = 1.5,
     word_delimiter: str = "|",
     prune_logp: float = -10.0,
+    lexicon=None,
 ):
     """Exact CTC prefix beam search over one utterance.
 
     log_probs: (T, V) natural-log probabilities (numpy). vocab: id->token
     list. lm: ArpaLM over WORDS (scored when a word completes), fused as
     alpha * ln10 * log10(P_lm) + beta per word (pyctcdecode semantics).
+    lexicon: optional decode.lexicon.Lexicon — hypotheses are constrained
+    to in-lexicon words (the Vosk/WFST capability, ref kaldi_infer.py:119);
+    composes with lm.
     Returns list of (text, score) best-first.
     """
     T, V = log_probs.shape
@@ -78,17 +82,23 @@ def ctc_prefix_beam_search(
                     # repeat collapses into same prefix (from p_nb)...
                     add(prefix, LOG0, p_nb + p, state)
                     # ...or extends after a blank (new symbol occurrence)
-                    np_, state2 = _extend_state(state, vocab[c], lm, alpha, beta, word_delimiter)
-                    add(prefix + (c,), LOG0, p_b + p + np_, state2)
+                    ext = _extend_state(state, vocab[c], lm, alpha, beta, word_delimiter, lexicon)
+                    if ext is not None:
+                        add(prefix + (c,), LOG0, p_b + p + ext[0], ext[1])
                 else:
-                    np_, state2 = _extend_state(state, vocab[c], lm, alpha, beta, word_delimiter)
-                    add(prefix + (c,), LOG0, p_tot + p + np_, state2)
+                    ext = _extend_state(state, vocab[c], lm, alpha, beta, word_delimiter, lexicon)
+                    if ext is not None:
+                        add(prefix + (c,), LOG0, p_tot + p + ext[0], ext[1])
 
         scored = sorted(new_beams.items(), key=lambda kv: -_logsumexp2(kv[1][0], kv[1][1]))
         beams = dict(scored[:beam_width])
 
     results = []
     for prefix, (p_b, p_nb, state) in beams.items():
+        # a trailing partial that is not a complete lexicon word cannot end
+        # the utterance (the WFST would have no final state there)
+        if lexicon is not None and state[1] and not lexicon.has_word(state[1]):
+            continue
         score = _logsumexp2(p_b, p_nb)
         # score the trailing partial word at end of sequence
         if lm is not None and state[1]:
@@ -96,20 +106,27 @@ def ctc_prefix_beam_search(
         text = "".join(vocab[c] for c in prefix).replace(word_delimiter, " ").strip()
         results.append((text, score))
     results.sort(key=lambda x: -x[1])
-    return results
+    return results or [("", LOG0)]
 
 
-def _extend_state(state, token, lm, alpha, beta, word_delimiter):
-    """Returns (lm_score_increment, new_state) for appending `token`."""
-    if lm is None:
+def _extend_state(state, token, lm, alpha, beta, word_delimiter, lexicon=None):
+    """Returns (lm_score_increment, new_state) for appending `token`, or
+    None when the extension is lexicon-forbidden (hypothesis killed)."""
+    if lm is None and lexicon is None:
         return 0.0, state
     ctx, partial = state
     if token == word_delimiter or token == " ":
         if partial:
-            inc = alpha * LOG10 * lm.score(partial, ctx) + beta
-            new_ctx = (ctx + (partial,))[-(lm.order - 1):] if lm.order > 1 else ()
-            return inc, (new_ctx, "")
+            if lexicon is not None and not lexicon.has_word(partial):
+                return None
+            inc = 0.0
+            if lm is not None:
+                inc = alpha * LOG10 * lm.score(partial, ctx) + beta
+                ctx = (ctx + (partial,))[-(lm.order - 1):] if lm.order > 1 else ()
+            return inc, (ctx, "")
         return 0.0, state
+    if lexicon is not None and not lexicon.has_prefix(partial + token):
+        return None
     return 0.0, (ctx, partial + token)
 
 

@@ -63,9 +63,10 @@ def ctc_transcribe_batch(model, batch):
     return decode_log_probas(model, lp, fl)
 
 
-def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, beam_width: int = 25):
+def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, beam_width: int = 25, lexicon=None):
     """Beam-search decode with word n-gram LM shallow fusion (pyctcdecode-
-    equivalent capability, reference transformers_decoder_with_lm:272)."""
+    equivalent capability, reference transformers_decoder_with_lm:272) and/or
+    a word-lexicon constraint (the Vosk capability, ref kaldi_infer.py:119)."""
     from ssak_tpu.decode.ctc_beam import ctc_prefix_beam_search
     from ssak_tpu.infer.general import compute_log_probas
 
@@ -80,7 +81,7 @@ def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, 
     vocab = model.vocab()
     texts = []
     for b in range(len(batch)):
-        res = ctc_prefix_beam_search(lp[b, : fl[b]], vocab, blank_id=model.cfg.blank_id, beam_width=beam_width, lm=lm, alpha=alpha, beta=beta)
+        res = ctc_prefix_beam_search(lp[b, : fl[b]], vocab, blank_id=model.cfg.blank_id, beam_width=beam_width, lm=lm, alpha=alpha, beta=beta, lexicon=lexicon)
         texts.append(res[0][0] if res else "")
     return texts
 
@@ -112,6 +113,7 @@ def ctc_infer(
     lm_alpha: float = 0.5,
     lm_beta: float = 1.5,
     beam_width: int = 0,
+    lexicon_path: str = None,
     tensor_parallel: int = 0,
     quantize_bits: int = 0,
 ):
@@ -134,11 +136,16 @@ def ctc_infer(
         from ssak_tpu.decode.native_lm import load_lm
 
         lm = load_lm(lm_path)
+    lexicon = None
+    if lexicon_path:
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        lexicon = Lexicon.from_file(lexicon_path)
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
     for batch, ids in batches:
-        if lm is not None:
-            texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25)
+        if lm is not None or lexicon is not None:
+            texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25, lexicon=lexicon)
         elif beam_width > 1:
             texts = ctc_decode_beam_device(model, batch, beam_width=beam_width)
         else:
@@ -166,6 +173,7 @@ def cli(argv=None):
     parser.add_argument("--no-use_ids", dest="use_ids", action="store_false")
     parser.add_argument("--log_memtime", action="store_true")
     parser.add_argument("--lm", default=None, help="ARPA n-gram LM for shallow-fusion beam decoding")
+    parser.add_argument("--lexicon", default=None, help="word list / Kaldi lexicon.txt: constrain beam decode to in-lexicon words (Vosk-style)")
     parser.add_argument("--lm_alpha", type=float, default=0.5)
     parser.add_argument("--lm_beta", type=float, default=1.5)
     parser.add_argument("--beam_width", type=int, default=0, help=">1 enables on-device beam search")
@@ -181,7 +189,7 @@ def cli(argv=None):
         for item in ctc_infer(
             args.model, args.data, batch_size=args.batch_size, sort_by_len=args.sort_by_len,
             output_ids=args.use_ids, log_memtime=args.log_memtime,
-            lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width,
+            lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width, lexicon_path=args.lexicon,
             tensor_parallel=args.tensor_parallel,
             quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
             seeded_test_config=args.seeded_test_config,

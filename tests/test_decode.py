@@ -213,3 +213,73 @@ def test_device_beam_char_lm_production_scale():
         )
         dev = list(int(t) for t in toks[0][: lens[0]])
         assert dev == list(host_prefix), f"trial {trial}"
+
+
+class TestLexiconConstraint:
+    """Vosk-capability decoding (ref kaldi_infer.py:119-175): beam
+    hypotheses restricted to a word lexicon via char-trie composition."""
+
+    def test_noise_decodes_to_lexicon_words_only(self):
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        rng = np.random.RandomState(7)
+        lexicon = Lexicon(["ab", "ba", "cab"])
+        for _ in range(10):
+            lp = rng.randn(20, 5).astype(np.float32) * 2.0
+            lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+            res = ctc_prefix_beam_search(lp, VOCAB, beam_width=8, lexicon=lexicon)
+            for w in res[0][0].split():
+                assert lexicon.has_word(w), res[0][0]
+
+    def test_unconstrained_emits_oov_somewhere(self):
+        """Sanity: over the same noise inputs, the unconstrained beam DOES
+        produce out-of-lexicon words (the constraint is doing real work)."""
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        rng = np.random.RandomState(7)
+        lexicon = Lexicon(["ab", "ba", "cab"])
+        oov = 0
+        for _ in range(10):
+            lp = rng.randn(20, 5).astype(np.float32) * 2.0
+            lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+            res = ctc_prefix_beam_search(lp, VOCAB, beam_width=8)
+            oov += sum(not lexicon.has_word(w) for w in res[0][0].split())
+        assert oov > 0
+
+    def test_trailing_partial_must_complete(self):
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        # strong path spelling "ca" then ends — "ca" is a prefix of "cab"
+        # but not a word; constrained beam must not end mid-word
+        lp = logits_for([4, 2], peaked=6.0)
+        lexicon = Lexicon(["cab", "c"])
+        res = ctc_prefix_beam_search(lp, VOCAB, beam_width=8, lexicon=lexicon)
+        assert res[0][0] in ("c", "")
+
+    def test_composes_with_lm(self):
+        from ssak_tpu.decode.lexicon import Lexicon
+        from ssak_tpu.decode import train_ngram_lm
+
+        lp = np.log(np.array([
+            [0.01, 0.01, 0.96, 0.01, 0.01],   # 'a'
+            [0.01, 0.01, 0.01, 0.485, 0.495], # 'c' slightly over 'b'
+            [0.01, 0.96, 0.01, 0.01, 0.01],   # '|'
+        ], np.float32))
+        lm = train_ngram_lm(["ab"] * 100 + ["ac"], order=2)
+        # unconstrained at this alpha the LM picks "ab" (same setup as
+        # test_lm_fusion_changes_ranking); the lexicon excludes "ab", so
+        # the LM-favoured word cannot appear and "ac" wins
+        res = ctc_prefix_beam_search(lp, VOCAB, beam_width=8, lm=lm, alpha=0.5, beta=0.0,
+                                     lexicon=Lexicon(["ac", "a"]))
+        assert res[0][0] == "ac"
+        assert all("ab" not in r[0].split() for r in res)
+
+    def test_lexicon_from_kaldi_file(self, tmp_path):
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        p = tmp_path / "lexicon.txt"
+        p.write_text("bonjour b o n z u r\nmonde m o d\n", encoding="utf-8")
+        lex = Lexicon.from_file(str(p))
+        assert lex.has_word("bonjour") and lex.has_word("monde")
+        assert lex.has_prefix("bonj") and not lex.has_prefix("x")
+        assert len(lex) == 2
