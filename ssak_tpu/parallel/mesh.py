@@ -17,6 +17,8 @@ def initialize_multihost(coordinator_address: str = None, num_processes: int = N
     """Initialize jax.distributed for multi-host pods (DCN coordination;
     collectives still ride ICI). On Cloud TPU the arguments are discovered
     from the environment automatically."""
+    import os
+
     import jax
 
     kwargs = {}
@@ -26,6 +28,13 @@ def initialize_multihost(coordinator_address: str = None, num_processes: int = N
             "num_processes": num_processes,
             "process_id": process_id,
         }
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # cross-process collectives on the host backend ride Gloo (CI /
+        # multi-host dryruns without chips); TPU pods use ICI natively
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     jax.distributed.initialize(**kwargs)
     from ssak_tpu.utils.monitoring import logger
 

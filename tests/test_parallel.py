@@ -3,6 +3,8 @@ single-program forward on a virtual CPU mesh (SURVEY.md §2.4 — these are
 strategies the reference lacks; validated here numerically, not just
 compile-checked)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -262,3 +264,86 @@ def test_moe_ctc_trains_and_learns():
             losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+class TestMultiProcessDistributed:
+    """TRUE multi-process jax.distributed (two OS processes, Gloo host
+    collectives): the one distributed path the single-process dryrun can't
+    see — coordinator handshake via parallel.mesh.initialize_multihost,
+    per-process tarred shard interleave, and a cross-process AllReduce.
+    Mirrors SURVEY §4's multi-host pod topology on CPU."""
+
+    WORKER = '''
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, "__REPO__")
+from ssak_tpu.utils.env import apply_platform_env
+apply_platform_env()
+import jax
+jax.config.update("jax_num_cpu_devices", 2)
+pid, nproc, tarred, out_file = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+from ssak_tpu.parallel.mesh import initialize_multihost
+initialize_multihost(coordinator_address="127.0.0.1:__PORT__", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc and jax.local_device_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from ssak_tpu.data.tarred import iterate_tarred_dataset
+
+ids, total = [], 0.0
+for x, lens, rows in iterate_tarred_dataset(tarred, batch_size=2, process_index=pid, process_count=nproc):
+    ids.extend(r["id"] for r in rows if r)
+    total += float(np.abs(x).sum())
+
+# cross-process AllReduce over the global ('data',) mesh: every process
+# contributes its local shard statistic; all must see the global sum
+mesh = Mesh(np.asarray(jax.devices()), ("data",))
+local = np.full((jax.local_device_count(), 1), total, np.float32)
+garr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("data")), local)
+gsum = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+with open(out_file, "w") as f:
+    json.dump({"ids": ids, "local_stat": total, "global_sum": float(gsum)}, f)
+'''
+
+    def test_two_process_interleave_and_allreduce(self, tmp_path, tmp_audio_dir):
+        import json
+        import socket
+        import subprocess
+        import sys
+
+        from ssak_tpu.data.tarred import create_tarred_dataset
+
+        tone = os.path.join(tmp_audio_dir, "tone16k.wav")
+        rows = [{"id": f"u{i}", "audio": tone, "start": 0.0, "end": 0.5, "duration": 0.5, "text": ""} for i in range(8)]
+        tarred = str(tmp_path / "tarred_mh")
+        create_tarred_dataset(rows, tarred, buckets=(1.0,), shard_size=2)  # 4 shards
+
+        with socket.socket() as s:  # free port for the coordinator
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        worker = tmp_path / "worker.py"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker.write_text(self.WORKER.replace("__REPO__", repo).replace("__PORT__", str(port)))
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)  # no virtual-device flag: 2 real cpu devs per proc
+        outs = [str(tmp_path / f"out{p}.json") for p in range(2)]
+        procs = [
+            subprocess.Popen([sys.executable, str(worker), str(p), "2", tarred, outs[p]],
+                             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for p in range(2)
+        ]
+        for p in procs:
+            stdout, _ = p.communicate(timeout=240)
+            assert p.returncode == 0, stdout.decode(errors="replace")[-2000:]
+
+        r0, r1 = (json.load(open(o)) for o in outs)
+        # disjoint + complete shard interleave across processes
+        assert not (set(r0["ids"]) & set(r1["ids"]))
+        assert sorted(r0["ids"] + r1["ids"]) == sorted(r["id"] for r in rows)
+        # AllReduce: both processes see the same global sum = 2*(stat0+stat1)
+        # (each process contributes its stat from both local devices)
+        expect = 2 * (r0["local_stat"] + r1["local_stat"])
+        assert abs(r0["global_sum"] - expect) < 1e-2 * max(1.0, expect)
+        assert r0["global_sum"] == r1["global_sum"]
