@@ -282,11 +282,21 @@ def subsampled_length(cfg: ConformerConfig, n_frames):
     return n
 
 
-def encode(params, mel, cfg: ConformerConfig, frame_lengths=None):
-    """mel: (B, n_mels, T). Returns (hidden (B, T', D), lengths (B,))."""
+def mel_frame_count(cfg: ConformerConfig, n_samples: int) -> int:
+    """Mel frames produced from n_samples of 16 kHz audio (frontend-
+    dependent: whisper drops the final centered frame, nemo keeps it)."""
+    return n_samples // 160 + (1 if cfg.frontend == "nemo" else 0)
+
+
+def encode(params, mel, cfg: ConformerConfig, frame_lengths=None, time_mask=None):
+    """mel: (B, n_mels, T). Returns (hidden (B, T', D), lengths (B,)).
+    time_mask: optional bool (B, T') — masked subsampled frames zeroed
+    (on-device SpecAugment span masking, same semantics as wav2vec2)."""
     x = subsample(params, mel, cfg)
     if cfg.xscale:
         x = x * jnp.asarray(cfg.d_model ** 0.5, x.dtype)  # NeMo xscaling: true
+    if time_mask is not None:
+        x = jnp.where(time_mask[:, : x.shape[1], None], 0.0, x)
     T = x.shape[1]
     lengths = (
         subsampled_length(cfg, frame_lengths) if frame_lengths is not None
@@ -303,13 +313,13 @@ def encode(params, mel, cfg: ConformerConfig, frame_lengths=None):
     return x, lengths
 
 
-def ctc_logits_from_mel(params, mel, cfg: ConformerConfig, frame_lengths=None):
-    hidden, lengths = encode(params, mel, cfg, frame_lengths)
+def ctc_logits_from_mel(params, mel, cfg: ConformerConfig, frame_lengths=None, time_mask=None):
+    hidden, lengths = encode(params, mel, cfg, frame_lengths, time_mask=time_mask)
     logits = L.dense(hidden, params["lm_head"], cfg.compute_dtype)
     return logits, lengths
 
 
-def ctc_log_probs(params, waveform, cfg: ConformerConfig, sample_lengths=None):
+def ctc_log_probs(params, waveform, cfg: ConformerConfig, sample_lengths=None, time_mask=None):
     """Waveform front-end: log-mel -> encoder -> log-probs, like the other
     families (waveform (B, T) at 16 kHz). cfg.frontend picks the feature
     math — NeMo-imported checkpoints need the NeMo preprocessor."""
@@ -322,5 +332,5 @@ def ctc_log_probs(params, waveform, cfg: ConformerConfig, sample_lengths=None):
         frame_lengths = (
             jnp.minimum(sample_lengths // HOP_LENGTH, mel.shape[-1]) if sample_lengths is not None else None
         )
-    logits, lengths = ctc_logits_from_mel(params, mel, cfg, frame_lengths)
+    logits, lengths = ctc_logits_from_mel(params, mel, cfg, frame_lengths, time_mask=time_mask)
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), lengths

@@ -1,4 +1,4 @@
-"""`sak-train`: wav2vec2-CTC fine-tuning CLI.
+"""`sak-train`: CTC fine-tuning CLI (wav2vec2 or NeMo-imported Conformer).
 
 Counterpart of reference ssak/train/transformers/wav2vec_train.py main
 (:127): Kaldi dirs / weighted list files in, run dir named from an hparams
@@ -107,7 +107,20 @@ def main(argv=None):
     logger.info(f"train: {meta_tr} valid: {meta_va}")
 
     # model + tokenizer
-    if args.base_model:
+    family, model_type = "wav2vec2", "wav2vec2_ctc"
+    if args.base_model and (
+        args.base_model.endswith(".nemo")
+        or os.path.exists(os.path.join(args.base_model, "model_config.yaml"))
+    ):
+        # pretrained NeMo Conformer/Parakeet starting point (reference
+        # ssak/train/nemo/train_utils.py:15 get_base_model); the imported
+        # checkpoint's own vocabulary is kept (same-language fine-tune)
+        from ssak_tpu.infer.general import load_model
+
+        m = load_model(args.base_model)
+        params, cfg, tokenizer = m.params, m.cfg, m.tokenizer
+        family, model_type = "conformer", "conformer_ctc"
+    elif args.base_model:
         from ssak_tpu.models.hf_loader import load_wav2vec2
 
         params, cfg = load_wav2vec2(args.base_model)
@@ -139,7 +152,7 @@ def main(argv=None):
     import dataclasses
 
     with open(os.path.join(run_dir, "ssak_config.json"), "w") as f:
-        json.dump({"model_type": "wav2vec2_ctc", "config": dataclasses.asdict(cfg)}, f, indent=1)
+        json.dump({"model_type": model_type, "config": dataclasses.asdict(cfg)}, f, indent=1)
 
     trainer = CTCTrainer(
         cfg, params, tokenizer, run_dir,
@@ -151,7 +164,7 @@ def main(argv=None):
         augmenter=augmenter, seed=args.seed,
         normalize_text=norm,
         optimizer=args.optimizer, schedule=args.schedule, head_lr=args.head_lr,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, family=family,
     )
     if args.resume:
         trainer.resume()

@@ -31,6 +31,20 @@ def export_model(params, cfg, output_dir: str, model_type: str = "wav2vec2_ctc",
     return output_dir
 
 
+def _config_from_meta(mtype: str, conf: dict):
+    if mtype == "wav2vec2_ctc":
+        from ssak_tpu.models.wav2vec2 import Wav2Vec2Config
+
+        return Wav2Vec2Config(**{k: tuple(v) if isinstance(v, list) else v for k, v in conf.items()})
+    if mtype == "conformer_ctc":
+        from ssak_tpu.models.conformer import ConformerConfig
+
+        return ConformerConfig(**conf)
+    from ssak_tpu.models.whisper import WhisperConfig
+
+    return WhisperConfig(**conf)
+
+
 def load_exported(model_dir: str):
     """Returns (model_type, params, cfg, tokenizer_or_None)."""
     from ssak_tpu.train.checkpoint import _unflatten
@@ -40,14 +54,7 @@ def load_exported(model_dir: str):
     with np.load(os.path.join(model_dir, "weights.npz"), allow_pickle=False) as z:
         params = _unflatten({k: z[k] for k in z.files})
     mtype = meta["model_type"]
-    if mtype == "wav2vec2_ctc":
-        from ssak_tpu.models.wav2vec2 import Wav2Vec2Config
-
-        cfg = Wav2Vec2Config(**{k: tuple(v) if isinstance(v, list) else v for k, v in meta["config"].items()})
-    else:
-        from ssak_tpu.models.whisper import WhisperConfig
-
-        cfg = WhisperConfig(**meta["config"])
+    cfg = _config_from_meta(mtype, meta["config"])
     tokenizer = None
     vocab = os.path.join(model_dir, "vocab.json")
     if os.path.exists(vocab):
@@ -87,9 +94,8 @@ def finalize_run(run_dir: str, output_dir: str = None, model_type: str = "wav2ve
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             saved = json.load(f)
-        from ssak_tpu.models.wav2vec2 import Wav2Vec2Config
-
-        cfg = Wav2Vec2Config(**{k: tuple(v) if isinstance(v, list) else v for k, v in saved["config"].items()})
+        model_type = saved.get("model_type", model_type)
+        cfg = _config_from_meta(model_type, saved["config"])
     else:
         # infer dims from the params (lm_head gives vocab size)
         from ssak_tpu.models.wav2vec2 import make_config

@@ -55,6 +55,7 @@ class CTCTrainer:
         newbob_annealing_factor: float = 0.8,
         newbob_patient: int = 0,
         grad_accum: int = 1,
+        family: str = "wav2vec2",
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -95,11 +96,13 @@ class CTCTrainer:
             from ssak_tpu.train.steps import with_grad_accumulation
 
             self.optimizer = with_grad_accumulation(self.optimizer, grad_accum)
+        self.family = family
         self.state = init_train_state(params, self.optimizer)
         self.train_step = make_ctc_train_step(
-            cfg, self.optimizer, frozen_feature_encoder=freeze_feature_encoder, mask_time_prob=mask_time_prob
+            cfg, self.optimizer, frozen_feature_encoder=freeze_feature_encoder,
+            mask_time_prob=mask_time_prob, family=family,
         )
-        self.eval_step = make_ctc_eval_step(cfg)
+        self.eval_step = make_ctc_eval_step(cfg, family=family)
         self.log_history = []
         self.best_wer = float("inf")
         self.best_step = -1

@@ -218,7 +218,16 @@ def make_ctc_train_step(
         if family == "conformer":
             from ssak_tpu.models import conformer
 
-            log_probs, frame_lengths = conformer.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
+            time_mask = None
+            if mask_time_prob > 0:
+                from ssak_tpu.augment.specaugment import mask_time_indices
+
+                B, T = batch["audio"].shape
+                F = conformer.subsampled_length(cfg, conformer.mel_frame_count(cfg, T))
+                key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+                time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
+            log_probs, frame_lengths = conformer.ctc_log_probs(
+                params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask)
         else:
             time_mask = None
             if mask_time_prob > 0:
@@ -260,13 +269,17 @@ def make_ctc_train_step(
     return step
 
 
-def make_ctc_eval_step(cfg):
-    from ssak_tpu.models import wav2vec2
+def make_ctc_eval_step(cfg, family: str = "wav2vec2"):
     from ssak_tpu.ops.ctc import ctc_greedy_decode
+
+    if family == "conformer":
+        from ssak_tpu.models import conformer as _family
+    else:
+        from ssak_tpu.models import wav2vec2 as _family
 
     @jax.jit
     def step(params, batch):
-        log_probs, frame_lengths = wav2vec2.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
+        log_probs, frame_lengths = _family.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
         loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
         tokens, lengths = ctc_greedy_decode(log_probs, frame_lengths, blank_id=cfg.blank_id)
         return {"loss": loss, "tokens": tokens, "token_lengths": lengths}

@@ -82,6 +82,7 @@ def train_whisper(
     language=None, lora_rank: int = 0, learning_rate=1e-5, warmup_steps=50,
     max_steps=1000, batch_size=4, eval_steps=200, seed=69, normalize_text=None,
     log_interval=10, quantize_bits: int = 0, grad_accum: int = 1,
+    max_eval_samples: int = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -126,7 +127,8 @@ def train_whisper(
                 log_history.append(entry)
                 logger.info(f"whisper train {entry}")
             if eval_rows and eval_steps and gstep % eval_steps == 0:
-                ev = evaluate_whisper(state["params"], cfg, tokenizer, eval_rows, batcher, normalize_text)
+                ev = evaluate_whisper(state["params"], cfg, tokenizer, eval_rows, batcher, normalize_text,
+                                      max_samples=max_eval_samples)
                 ev["step"] = gstep
                 log_history.append(ev)
                 logger.info(f"whisper eval {ev}")
@@ -148,7 +150,7 @@ def train_whisper(
     return state, log_history
 
 
-def evaluate_whisper(params, cfg, tokenizer, eval_rows, batcher, normalize_text=None):
+def evaluate_whisper(params, cfg, tokenizer, eval_rows, batcher, normalize_text=None, max_samples: int = None):
     from ssak_tpu.audio import load_audio
     from ssak_tpu.eval.wer import compute_wer
     from ssak_tpu.infer.general import LoadedModel, ModelType
@@ -158,6 +160,11 @@ def evaluate_whisper(params, cfg, tokenizer, eval_rows, batcher, normalize_text=
     model = LoadedModel(ModelType.WHISPER, params, cfg, tokenizer)
     refs, hyps = {}, {}
     rows = [r for r in eval_rows if r.get("text")]
+    if max_samples:
+        # predict_with_generate-style eval cost cap (reference Seq2SeqTrainer
+        # eval runs generation per sample — unbounded eval dominates training
+        # wall-clock on big dev sets); deterministic head keeps evals comparable
+        rows = rows[:max_samples]
     B = batcher.batch_size
     for i in range(0, len(rows), B):
         chunk = rows[i : i + B]
@@ -188,6 +195,7 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--max_steps", type=int, default=1000)
     p.add_argument("--eval_steps", type=int, default=200)
+    p.add_argument("--max_eval_samples", type=int, default=None, help="cap generation-eval cost (first N eval utterances)")
     p.add_argument("--max_duration", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=69)
     args = p.parse_args(argv)
@@ -224,6 +232,7 @@ def main(argv=None):
         params, cfg, tokenizer, train_rows, valid_rows, args.output_dir,
         language=args.language, lora_rank=args.lora, learning_rate=args.learning_rate,
         max_steps=args.max_steps, batch_size=args.batch_size, eval_steps=args.eval_steps,
+        max_eval_samples=args.max_eval_samples,
         seed=args.seed, normalize_text=norm,
         quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
         grad_accum=args.grad_accum,

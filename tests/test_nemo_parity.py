@@ -334,3 +334,58 @@ class TestNemoArchive:
         a = jax.tree_util.tree_leaves(p1)
         b = jax.tree_util.tree_leaves(p2)
         assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+class TestNemoFineTuneChain:
+    def test_import_train_finalize_infer(self, tmp_path):
+        """The reference's NeMo workflow (train_utils.py:15 get_base_model:
+        pretrained Parakeet -> fine-tune -> deploy) end to end: tiny .nemo
+        archive -> CTCTrainer (conformer family, relpos+NeMo frontend) ->
+        finalize export -> reload through infer facade -> decode."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["DATAPATH"] = "/root/reference/tests/data"
+        arch = str(tmp_path / "base.nemo")
+        _build_tiny_nemo_archive(arch)
+
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "ssak_tpu.train.cli",
+                "/root/reference/tests/data/kaldi/minimal",
+                "/root/reference/tests/data/kaldi/minimal",
+                "--base_model", arch,
+                "--output_dir", str(tmp_path / "runs"),
+                "--batch_size", "2", "--max_steps", "2", "--eval_steps", "2",
+                "--warmup_steps", "1", "--max_duration", "21", "--language", "fr",
+            ],
+            env=env, cwd="/root/repo", capture_output=True, text=True, timeout=900,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        run_dir = json.loads(out.stdout.strip().splitlines()[-1])["run_dir"]
+        cfg_meta = json.load(open(os.path.join(run_dir, "ssak_config.json")))
+        assert cfg_meta["model_type"] == "conformer_ctc"
+        assert cfg_meta["config"]["pos_type"] == "relpos"
+
+        out = subprocess.run(
+            [sys.executable, "-m", "ssak_tpu.train.finalize", run_dir],
+            env=env, cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        final_dir = out.stdout.strip().splitlines()[-1]
+        meta = json.load(open(os.path.join(final_dir, "ssak_config.json")))
+        assert meta["model_type"] == "conformer_ctc"
+
+        out = subprocess.run(
+            [
+                sys.executable, "-m", "ssak_tpu.infer.ctc_infer",
+                "/root/reference/tests/data/audio/bonjour.wav", final_dir,
+            ],
+            env=env, cwd="/root/repo", capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert out.stdout.startswith("bonjour")  # utt id column present
