@@ -215,8 +215,12 @@ class CTCTrainer:
         stop = False
         bad_evals = 0
         epoch = int(self.epoch)
+        from ssak_tpu.data.prefetch import prefetch_iterator
+
         while not stop:
-            for batch, real in self._batches(train_rows, shuffle_seed=self.seed + epoch):
+            # audio decode/augment/pad runs ahead in a worker thread while
+            # the chip executes the previous step (input-pipeline overlap)
+            for batch, real in prefetch_iterator(self._batches(train_rows, shuffle_seed=self.seed + epoch)):
                 step0 = time.perf_counter()
                 self.state, metrics = self.train_step(self.state, batch)
                 gstep = int(np.asarray(self.state["step"]))

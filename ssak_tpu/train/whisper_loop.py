@@ -118,8 +118,10 @@ def train_whisper(
     log_history = []
     gstep = 0
     epoch = 0
+    from ssak_tpu.data.prefetch import prefetch_iterator
+
     while gstep < max_steps:
-        for batch, _chunk in batcher.batches(train_rows, seed=seed + epoch):
+        for batch, _chunk in prefetch_iterator(batcher.batches(train_rows, seed=seed + epoch)):
             state, metrics = step_fn(state, batch)
             gstep = int(np.asarray(state["step"]))
             if gstep % log_interval == 0 or gstep == 1:

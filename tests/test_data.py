@@ -229,3 +229,45 @@ def test_dummy_padding_rows_zero_gradient(kaldi_dir):
     nll = ctc_loss(lp, logit_lens, labels, label_lens, reduction="none")
     assert float(nll[2]) == 0.0
     assert float(nll[0]) > 0.0
+
+
+class TestPrefetch:
+    def test_same_items_same_order(self):
+        from ssak_tpu.data.prefetch import prefetch_iterator
+
+        assert list(prefetch_iterator(iter(range(100)), depth=3)) == list(range(100))
+
+    def test_producer_exception_propagates(self):
+        from ssak_tpu.data.prefetch import prefetch_iterator
+
+        def gen():
+            yield 1
+            yield 2
+            raise ValueError("boom")
+
+        it = prefetch_iterator(gen(), depth=2)
+        assert next(it) == 1 and next(it) == 2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="boom"):
+            next(it)
+
+    def test_overlap_actually_happens(self):
+        """Producer sleeps 10 ms/item, consumer sleeps 10 ms/item: serial
+        would be ~2N*10 ms, overlapped ~N*10 ms."""
+        import time
+
+        from ssak_tpu.data.prefetch import prefetch_iterator
+
+        N = 20
+
+        def slow_gen():
+            for i in range(N):
+                time.sleep(0.01)
+                yield i
+
+        t0 = time.perf_counter()
+        for _ in prefetch_iterator(slow_gen(), depth=2):
+            time.sleep(0.01)
+        overlapped = time.perf_counter() - t0
+        assert overlapped < 1.6 * N * 0.01, overlapped
