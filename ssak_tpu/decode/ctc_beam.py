@@ -136,8 +136,9 @@ def _extend_state(state, token, lm, alpha, beta, word_delimiter, lexicon=None):
 _DEVICE_BEAM_CACHE = {}
 
 
-def _device_beam_program(T, V, K, blank_id, order, use_lm):
-    """Build + cache the jitted scan for one (T, V, K, LM) signature.
+def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
+    """Build + cache the jitted scan for one (T, V, K, LM, lexicon)
+    signature.
 
     Sort-free TPU design: because live beams always hold DISTINCT prefixes,
     the only duplicate class each step is stay-vs-extend (extending beam j
@@ -146,17 +147,23 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm):
     K*(V+1) candidates is K iterative argmax extractions — no bitonic sort.
     The sort-based version of this scan took ~670 s to compile and ~21 ms
     per frame on v5e; this one compiles in seconds and runs ~100x faster.
+
+    use_lexicon: beams additionally carry a trie NODE id; extensions gather
+    a (B, K, V) next-node row from the dense lexicon transition table
+    (decode/lexicon.Lexicon.device_tables — the WFST L composition as an
+    HBM gather), forbidden transitions score -inf, and end-of-utterance
+    requires an accepting/boundary node.
     """
     import jax
     import jax.numpy as jnp
 
     HASH_P = jnp.uint32(1000003)
 
-    def run(log_probs, frame_lengths, lm_tab):
+    def run(log_probs, frame_lengths, lm_tab, lex_trans, lex_accept):
         B = log_probs.shape[0]
 
         def step(carry, t):
-            hashes, last, p_b, p_nb, ctx = carry
+            hashes, last, p_b, p_nb, ctx, node = carry
             frame = log_probs[:, t]  # (B, V)
             active = (t < frame_lengths)[:, None]  # (B, 1)
 
@@ -178,6 +185,9 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm):
                 lm_inc = 0.0
             ext_scores = ext_base + frame[:, None, :] + lm_inc  # (B, K, V)
             ext_scores = jnp.where(jnp.arange(V)[None, None, :] == blank_id, LOG0, ext_scores)
+            if use_lexicon:
+                nxt = lex_trans[node]  # (B, K, V) gather of trie rows
+                ext_scores = jnp.where(nxt >= 0, ext_scores, LOG0)
             ext_hash = hashes[..., None] * HASH_P + jnp.arange(V, dtype=jnp.uint32)[None, None, :]
 
             # --- stay candidates: blank from anywhere, repeat from p_nb
@@ -233,6 +243,15 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm):
             else:
                 new_ctx = ctx
 
+            if use_lexicon:
+                old_node = jnp.take_along_axis(node, src_beam, axis=1)
+                nxt_src = jnp.take_along_axis(nxt, src_beam[..., None], axis=1)  # (B, K, V)
+                nxt_tok = jnp.take_along_axis(nxt_src, jnp.clip(tok, 0, V - 1)[..., None], axis=2)[..., 0]
+                new_node = jnp.where(is_stay, old_node, nxt_tok)
+                new_node = jnp.where(active, new_node, node)
+            else:
+                new_node = node
+
             # freeze finished sequences
             new_hash = jnp.where(active, new_hash, hashes)
             new_last = jnp.where(active, new_last, last)
@@ -241,23 +260,34 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm):
 
             emit_tok = jnp.where(active & ~is_stay, tok, -1)
             src = jnp.where(active, src_beam, jnp.arange(K)[None, :].repeat(B, 0))
-            return (new_hash, new_last, new_pb, new_pnb, new_ctx), (src.astype(jnp.int32), emit_tok.astype(jnp.int32))
+            return (new_hash, new_last, new_pb, new_pnb, new_ctx, new_node), (src.astype(jnp.int32), emit_tok.astype(jnp.int32))
 
         hashes0 = jnp.ones((B, K), jnp.uint32) * (jnp.arange(K, dtype=jnp.uint32)[None, :] * jnp.uint32(2654435761) + 1)
         last0 = jnp.full((B, K), -1, jnp.int32)
         p_b0 = jnp.full((B, K), LOG0, jnp.float32).at[:, 0].set(0.0)
         p_nb0 = jnp.full((B, K), LOG0, jnp.float32)
         ctx0 = jnp.zeros((B, K, max(1, order - 1)), jnp.int32)
+        node0 = jnp.zeros((B, K), jnp.int32)
 
-        (hashes, last, p_b, p_nb, _ctx), (srcs, toks) = jax.lax.scan(
-            step, (hashes0, last0, p_b0, p_nb0, ctx0), jnp.arange(T)
+        (hashes, last, p_b, p_nb, _ctx, node), (srcs, toks) = jax.lax.scan(
+            step, (hashes0, last0, p_b0, p_nb0, ctx0, node0), jnp.arange(T)
         )
-        best = jnp.argmax(jnp.logaddexp(p_b, p_nb), axis=1)  # (B,)
+        final = jnp.logaddexp(p_b, p_nb)
+        if use_lexicon:
+            # a mid-word ending is not a final state (same rule as the host
+            # beam's trailing-partial check)
+            ok = (node == 0) | lex_accept[node]
+            final = jnp.where(ok, final, LOG0)
+        best = jnp.argmax(final, axis=1)  # (B,)
         return best, srcs, toks
 
-    if use_lm:
+    if use_lm and use_lexicon:
         return jax.jit(run)
-    return jax.jit(lambda lp, fl: run(lp, fl, None))
+    if use_lm:
+        return jax.jit(lambda lp, fl, lm: run(lp, fl, lm, None, None))
+    if use_lexicon:
+        return jax.jit(lambda lp, fl, tr, ac: run(lp, fl, None, tr, ac))
+    return jax.jit(lambda lp, fl: run(lp, fl, None, None, None))
 
 
 def ctc_beam_search_device(
@@ -267,12 +297,17 @@ def ctc_beam_search_device(
     blank_id: int = 0,
     lm_table=None,
     lm_alpha: float = 0.5,
+    lexicon_tables=None,
 ):
     """Batched beam search on device.
 
     log_probs: (B, T, V) jax array of log-softmax outputs.
     lm_table: optional dense char-LM (V_lm,)*order numpy table in log10
     (see ssak_tpu.decode.lm.char_lm_table); fused per extension.
+    lexicon_tables: optional (trans, accept) from
+    decode.lexicon.Lexicon.device_tables — constrains hypotheses to
+    in-lexicon words entirely on device (the Vosk capability without
+    leaving the chip).
 
     Returns (tokens (B, T) int32 padded -1, lengths (B,)) for the best beam,
     reconstructed on host from streamed backpointers.
@@ -283,16 +318,18 @@ def ctc_beam_search_device(
     K = beam_width
 
     use_lm = lm_table is not None
+    use_lexicon = lexicon_tables is not None
     order = lm_table.ndim if use_lm else 1
-    key = (T, V, K, blank_id, order, use_lm)
+    key = (T, V, K, blank_id, order, use_lm, use_lexicon)
     if key not in _DEVICE_BEAM_CACHE:
-        _DEVICE_BEAM_CACHE[key] = _device_beam_program(T, V, K, blank_id, order, use_lm)
+        _DEVICE_BEAM_CACHE[key] = _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon)
     prog = _DEVICE_BEAM_CACHE[key]
+    args = [log_probs, frame_lengths]
     if use_lm:
-        lm_tab = jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha  # natural log, weighted
-        best, srcs, toks = prog(log_probs, frame_lengths, lm_tab)
-    else:
-        best, srcs, toks = prog(log_probs, frame_lengths)
+        args.append(jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha)  # natural log, weighted
+    if use_lexicon:
+        args += [jnp.asarray(lexicon_tables[0]), jnp.asarray(lexicon_tables[1])]
+    best, srcs, toks = prog(*args)
 
     # host backtrace through (T, B, K) parent pointers
     srcs = np.asarray(srcs)

@@ -52,3 +52,43 @@ class Lexicon:
 
     def has_prefix(self, p: str) -> bool:
         return p in self.prefixes
+
+    def device_tables(self, vocab, word_delimiter: str = "|"):
+        """Dense trie tables for the ON-DEVICE beam (decode/ctc_beam
+        ctc_beam_search_device): the WFST's L component as two HBM arrays
+        gathered per beam step instead of pointer-chased on host.
+
+        vocab: id -> token list. Returns (trans (N, V) int32, accept (N,)
+        bool): trans[n, c] = child node after consuming token c at node n,
+        -1 = forbidden; node 0 = word boundary (root). The delimiter column
+        returns to root exactly from accepting nodes (and is a no-op at
+        root), which is the same constraint the host beam applies. Node
+        count N = #distinct prefixes + 1; a million-word lexicon is a few
+        hundred MB — resident-HBM territory, amortized over the whole batch.
+        """
+        import numpy as np
+
+        V = len(vocab)
+        tok2id = {t: i for i, t in enumerate(vocab) if t}
+        # node ids: root=0, then every prefix in insertion-stable order
+        node_of = {"": 0}
+        for p in sorted(self.prefixes):
+            node_of.setdefault(p, len(node_of))
+        N = len(node_of)
+        trans = np.full((N, V), -1, np.int32)
+        accept = np.zeros((N,), bool)
+        for p, n in node_of.items():
+            if p in self.words:
+                accept[n] = True
+            for t, i in tok2id.items():
+                if t in (word_delimiter, " "):
+                    continue
+                child = node_of.get(p + t)
+                if child is not None:
+                    trans[n, i] = child
+        for delim in (word_delimiter, " "):
+            i = tok2id.get(delim)
+            if i is not None:
+                trans[accept, i] = 0
+                trans[0, i] = 0  # consecutive delimiters are a no-op
+        return trans, accept

@@ -86,8 +86,9 @@ def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, 
     return texts
 
 
-def ctc_decode_beam_device(model, batch, beam_width: int = 16, lm_table=None, lm_alpha: float = 0.5):
-    """On-device batched beam search (optionally char-LM fused)."""
+def ctc_decode_beam_device(model, batch, beam_width: int = 16, lm_table=None, lm_alpha: float = 0.5, lexicon=None):
+    """On-device batched beam search (optionally char-LM fused and/or
+    lexicon-constrained via dense trie tables resident in HBM)."""
     from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
     from ssak_tpu.infer.general import compute_log_probas
 
@@ -97,7 +98,12 @@ def ctc_decode_beam_device(model, batch, beam_width: int = 16, lm_table=None, lm
     for i, a in enumerate(batch):
         x[i, : len(a)] = a
     lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens, np.int32))
-    tokens, lengths = ctc_beam_search_device(lp, fl, beam_width=beam_width, blank_id=model.cfg.blank_id, lm_table=lm_table, lm_alpha=lm_alpha)
+    lex_tables = None
+    if lexicon is not None:
+        lex_tables = lexicon.device_tables(model.vocab(), word_delimiter=model.tokenizer.word_delimiter)
+    tokens, lengths = ctc_beam_search_device(
+        lp, fl, beam_width=beam_width, blank_id=model.cfg.blank_id,
+        lm_table=lm_table, lm_alpha=lm_alpha, lexicon_tables=lex_tables)
     return [model.tokenizer.decode(tokens[b, : lengths[b]]) for b in range(len(batch))]
 
 
@@ -144,8 +150,13 @@ def ctc_infer(
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
     for batch, ids in batches:
-        if lm is not None or lexicon is not None:
+        if lm is not None:
             texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25, lexicon=lexicon)
+        elif lexicon is not None and beam_width > 1:
+            # lexicon without word-LM: the constraint runs fully on device
+            texts = ctc_decode_beam_device(model, batch, beam_width=beam_width, lexicon=lexicon)
+        elif lexicon is not None:
+            texts = ctc_decode_with_lm(model, batch, None, beam_width=25, lexicon=lexicon)
         elif beam_width > 1:
             texts = ctc_decode_beam_device(model, batch, beam_width=beam_width)
         else:

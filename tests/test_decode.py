@@ -283,3 +283,74 @@ class TestLexiconConstraint:
         assert lex.has_word("bonjour") and lex.has_word("monde")
         assert lex.has_prefix("bonj") and not lex.has_prefix("x")
         assert len(lex) == 2
+
+
+class TestDeviceLexicon:
+    """Device-side trie constraint (dense trans/accept HBM tables) vs the
+    host beam oracle — the Vosk capability without leaving the chip."""
+
+    def _lex(self):
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        return Lexicon(["ab", "ba", "cab", "a"])
+
+    def test_tables_shape_and_semantics(self):
+        lex = self._lex()
+        trans, accept = lex.device_tables(VOCAB)
+        # nodes: root + prefixes {a, ab, b, ba, c, ca, cab}
+        assert trans.shape == (8, 5) and accept.sum() == 4
+        root = 0
+        a = trans[root, 2]
+        assert a > 0 and accept[a]          # "a" is a word
+        assert trans[a, 3] > 0              # "ab"
+        assert trans[a, 2] == -1            # "aa" forbidden
+        assert trans[a, 1] == 0             # delimiter from accepting node -> root
+        c = trans[root, 4]
+        assert c > 0 and not accept[c]
+        assert trans[c, 1] == -1            # "c" is not a word: no delimiter
+        assert trans[root, 1] == 0          # delimiter no-op at root
+        assert (trans[:, 0] == -1).all()    # blank column unused
+
+    def test_device_matches_host_with_lexicon(self):
+        from ssak_tpu.decode.lexicon import Lexicon
+
+        lex = self._lex()
+        tables = lex.device_tables(VOCAB)
+        rng = np.random.RandomState(3)
+        for trial in range(5):
+            T = 12
+            logits = rng.randn(T, 5).astype(np.float32) * 2
+            lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            host = ctc_prefix_beam_search(lp, VOCAB, beam_width=16, lexicon=lex)[0][0]
+            toks, lens = ctc_beam_search_device(
+                jnp.asarray(lp[None]), jnp.asarray([T]), beam_width=16, lexicon_tables=tables)
+            dev = "".join(VOCAB[t] for t in toks[0][: lens[0]]).replace("|", " ").strip()
+            assert dev == host, f"trial {trial}: {dev!r} != {host!r}"
+
+    def test_device_lexicon_only_in_vocab_words(self):
+        lex = self._lex()
+        tables = lex.device_tables(VOCAB)
+        rng = np.random.RandomState(9)
+        lp = rng.randn(4, 20, 5).astype(np.float32) * 2
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        toks, lens = ctc_beam_search_device(
+            jnp.asarray(lp), jnp.asarray([20, 20, 15, 10]), beam_width=8, lexicon_tables=tables)
+        for b in range(4):
+            text = "".join(VOCAB[t] for t in toks[b][: lens[b]]).replace("|", " ").strip()
+            for w in text.split():
+                assert lex.has_word(w), (b, text)
+
+    def test_composes_with_char_lm_on_device(self):
+        lex = self._lex()
+        tables = lex.device_tables(VOCAB)
+        lm = train_ngram_lm(["ab", "ab", "ba"], order=2, char_level=True)
+        tab, _order = char_lm_table(lm, VOCAB)
+        rng = np.random.RandomState(5)
+        lp = rng.randn(1, 10, 5).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        toks, lens = ctc_beam_search_device(
+            jnp.asarray(lp), jnp.asarray([10]), beam_width=8,
+            lm_table=tab, lm_alpha=0.5, lexicon_tables=tables)
+        text = "".join(VOCAB[t] for t in toks[0][: lens[0]]).replace("|", " ").strip()
+        for w in text.split():
+            assert lex.has_word(w), text
