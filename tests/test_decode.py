@@ -354,3 +354,37 @@ class TestDeviceLexicon:
         text = "".join(VOCAB[t] for t in toks[0][: lens[0]]).replace("|", " ").strip()
         for w in text.split():
             assert lex.has_word(w), text
+
+
+@pytest.mark.slow
+def test_device_lexicon_scale():
+    """Realistic-lexicon scale: ~10k synthetic French-like words -> dense
+    trie tables (node count, memory, build time) and a batched device
+    decode constrained by them. Catches table-size/gather issues the
+    5-word toy can't."""
+    import time
+
+    from ssak_tpu.decode.lexicon import Lexicon
+
+    rng = np.random.RandomState(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = {"".join(alphabet[i] for i in rng.randint(0, 26, rng.randint(3, 11))) for _ in range(12000)}
+    lex = Lexicon(words)
+    vocab = ["<pad>", "|"] + list(alphabet)
+    t0 = time.perf_counter()
+    trans, accept = lex.device_tables(vocab)
+    build_s = time.perf_counter() - t0
+    assert trans.shape[0] > len(words)  # prefixes outnumber words
+    assert accept.sum() == len(lex)
+    assert build_s < 30.0, build_s
+    # tables stay HBM-friendly (a 12k-word lexicon is a few MB)
+    assert trans.nbytes < 64e6
+
+    lp = rng.randn(2, 60, len(vocab)).astype(np.float32) * 2
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    toks, lens = ctc_beam_search_device(
+        jnp.asarray(lp), jnp.asarray([60, 45]), beam_width=8, lexicon_tables=(trans, accept))
+    for b in range(2):
+        text = "".join(vocab[t] for t in toks[b][: lens[b]]).replace("|", " ").strip()
+        for w in text.split():
+            assert lex.has_word(w), text
