@@ -39,7 +39,10 @@ TIMED_CALLS = 3
 # --load_in_8bit/4bit + LoRA large fine-tune path, whisper_train.py)
 W_BATCH = 4
 W_TOKENS = 224
-W_DEC_BATCH = 8
+# decode batch 24: largest large-v3 window batch that fits one v5e chip with
+# the (B, H, Dh, T) decode-cache layout (see models/layers.py
+# decode_attention); measured 374 audio-s/s vs 335 at B=8
+W_DEC_BATCH = 24
 W_DEC_TOKENS = 64
 
 

@@ -167,12 +167,20 @@ def decode_train(params, tokens, audio_features, cfg: WhisperConfig):
 def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
     """Cross-attention K/V are decode-invariant: compute once per utterance
     instead of per token (the reference's openai-whisper does this with
-    forward hooks; here it is just a pass over blocks)."""
+    forward hooks; here it is just a pass over blocks).
+
+    Stored in the decode-cache layout (B, H, Dh, T_audio) — near-pad-free
+    in TPU HBM (only T tiles to 128 lanes, ~2%; the naive (B, T, H, Dh)
+    pads 2.4x at large-v3's (20, 64)) and already the dot operand layout
+    for both attention contractions, so the buffers stream straight into
+    the MXU each decode step with no transposition/copy (see
+    layers.decode_attention). This is what lets batch-32 large-v3 decode
+    fit and run bandwidth-bound on one v5e chip."""
     dt = cfg.compute_dtype
     out = []
     for blk in params["decoder"]["blocks"]:
-        k = L.split_heads(L.dense(audio_features, blk["cross_attn"]["key"], dt), cfg.n_text_head)
-        v = L.split_heads(L.dense(audio_features, blk["cross_attn"]["value"], dt), cfg.n_text_head)
+        k = L.to_decode_kv(L.dense(audio_features, blk["cross_attn"]["key"], dt), cfg.n_text_head)
+        v = L.to_decode_kv(L.dense(audio_features, blk["cross_attn"]["value"], dt), cfg.n_text_head)
         out.append({"k": k, "v": v})
     return out
 
@@ -192,10 +200,10 @@ def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
             mask=kmask, cache=cache, cache_index=pos, dtype=dt,
         )
         x = x + h
-        # cross-attention with precomputed K/V
+        # cross-attention with precomputed merged-head K/V
         xq = L.layer_norm(x, blk["cross_attn_ln"])
         q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
-        y = L.attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+        y = L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
         x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
         x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
         new_caches.append(self_c)
@@ -205,12 +213,15 @@ def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
 
 
 def init_cache(cfg: WhisperConfig, batch: int):
+    """Self-attention KV cache in the decode-cache layout (B, H, Dh, L),
+    compute dtype (bf16 on TPU) — near-pad-free and dot-operand-native;
+    see layers.decode_attention / precompute_cross_kv."""
     Dh = cfg.n_text_state // cfg.n_text_head
 
     def empty():
         return {
-            "k": jnp.zeros((batch, cfg.n_text_ctx, cfg.n_text_head, Dh), jnp.float32),
-            "v": jnp.zeros((batch, cfg.n_text_ctx, cfg.n_text_head, Dh), jnp.float32),
+            "k": jnp.zeros((batch, cfg.n_text_head, Dh, cfg.n_text_ctx), cfg.compute_dtype),
+            "v": jnp.zeros((batch, cfg.n_text_head, Dh, cfg.n_text_ctx), cfg.compute_dtype),
         }
 
     return [empty() for _ in range(cfg.n_text_layer)]
@@ -400,7 +411,7 @@ def _decode_step_padded(params, token, pos_idx, slot, pad_len, caches, cross_kvs
         x = x + h
         xq = L.layer_norm(x, blk["cross_attn_ln"])
         q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
-        y = L.attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+        y = L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
         x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
         x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
         new_caches.append(self_c)
