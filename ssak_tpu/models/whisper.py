@@ -200,7 +200,7 @@ def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
             mask=kmask, cache=cache, cache_index=pos, dtype=dt,
         )
         x = x + h
-        # cross-attention with precomputed merged-head K/V
+        # cross-attention with precomputed decode-layout K/V
         xq = L.layer_norm(x, blk["cross_attn_ln"])
         q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
         y = L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
