@@ -71,9 +71,17 @@ def load_model(model_dir: str, seeded_test_config: str = None, quantize_bits: in
     halves/quarters weight HBM for big-model single-chip decode."""
     model = _load_model(model_dir, seeded_test_config)
     if quantize_bits:
+        import jax.numpy as _jnp
+
         from ssak_tpu.models.quant import quantize_params
 
-        model.params = quantize_params(model.params, bits=quantize_bits)
+        # device-resident: quantize_params returns numpy leaves, and a
+        # numpy leaf in a jit argument is re-transferred host->device on
+        # EVERY call — over the remote TPU tunnel that turns a 2 s decode
+        # into a 40 s one (measured, large-v3 int8)
+        model.params = jax.tree_util.tree_map(
+            _jnp.asarray, quantize_params(model.params, bits=quantize_bits)
+        )
     return model
 
 

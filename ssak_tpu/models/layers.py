@@ -52,15 +52,28 @@ def dense(x, params, dtype=None):
     HBM traffic of every layer. Cast to f32 explicitly at numerically
     sensitive points (logits before softmax/log_softmax)."""
     w = params["kernel"]
+    y = None
     if isinstance(w, dict):  # int8/int4 weight-only quantized (models.quant)
-        from ssak_tpu.models.quant import dequantize_kernel
+        from ssak_tpu.ops.int8_matmul import int8_dense_supported, matmul_int8
 
-        w = dequantize_kernel(w, dtype if dtype is not None else x.dtype)
-    if dtype is not None:
-        x = x.astype(dtype)
-        w = w.astype(dtype)
+        if "q8" in w and int8_dense_supported(x, w["q8"]):
+            # decode-shaped activation on TPU: fused dequant-matmul Pallas
+            # kernel streams int8 weights (the XLA dequant would be hoisted
+            # out of the decode scan as a full bf16 copy — PERF.md)
+            if dtype is not None:
+                x = x.astype(dtype)
+            xq = x.reshape(-1, x.shape[-1])
+            y = matmul_int8(xq, w["q8"], w["scale"]).reshape(*x.shape[:-1], -1)
+        else:
+            from ssak_tpu.models.quant import dequantize_kernel
+
+            w = dequantize_kernel(w, dtype if dtype is not None else x.dtype)
+    if y is None:
+        if dtype is not None:
+            x = x.astype(dtype)
+            w = w.astype(dtype)
+        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     out_dtype = x.dtype
-    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     if "lora_A" in params:
         a = params["lora_A"].astype(x.dtype)
         b = params["lora_B"].astype(x.dtype)
@@ -144,6 +157,113 @@ def to_decode_kv(x, n_heads: int):
     return jnp.transpose(split_heads(x, n_heads), (0, 2, 3, 1))
 
 
+def quantize_decode_kv(kT, vT):
+    """Decode-layout K/V (B, H, Dh, T) -> int8 dict for
+    decode_attention_int8.
+
+    Autoregressive decode re-reads the ENTIRE cross-attention K/V every
+    token step (large-v3 at B=24: 5.9 GB/step — the dominant HBM term,
+    bigger than the 1.6 GB weight read; PERF.md). Storing it int8 halves
+    that. Scales: K per-head (folds into the scalar logit multiplier),
+    V per-channel over Dh (factors out of the probs@V contraction since
+    the sum runs over T)."""
+    ks = jnp.max(jnp.abs(kT), axis=(2, 3), keepdims=True).astype(jnp.float32) / 127.0  # (B,H,1,1)
+    ks = jnp.maximum(ks, 1e-8)
+    k8 = jnp.clip(jnp.rint(kT.astype(jnp.float32) / ks), -127, 127).astype(jnp.int8)
+    vs = jnp.max(jnp.abs(vT), axis=3, keepdims=True).astype(jnp.float32) / 127.0  # (B,H,Dh,1)
+    vs = jnp.maximum(vs, 1e-8)
+    v8 = jnp.clip(jnp.rint(vT.astype(jnp.float32) / vs), -127, 127).astype(jnp.int8)
+    return {"k8": k8, "ks": ks, "v8": v8, "vs": vs}
+
+
+def decode_attention_int8(q, kv8, mask=None, dtype=jnp.bfloat16, scale=None):
+    """decode_attention against an int8-quantized K/V (quantize_decode_kv).
+
+    Both contractions run as NATIVE int8 x int8 -> int32 MXU dots (2.4x
+    the bf16 rate at large-v3 cross-attention shapes on v5e — the op is
+    HBM-bound and the bytes halve). q and the softmax probs are quantized
+    dynamically per step per (batch, head), so XLA cannot hoist any
+    dequantized copy out of the token scan (the failure mode that kills
+    the naive `int8.astype(bf16)` formulation — see ops/int8_matmul.py).
+    All scale algebra is exact: per-head K scale and per-step q scale fold
+    into the scalar logit multiplier; per-channel V scale factors out of
+    the probs@V sum (which contracts T, not Dh)."""
+    Dh = q.shape[-1]
+    scale = scale if scale is not None else Dh ** -0.5
+    qf = q.astype(jnp.float32)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0  # (B,Tq,H,1)
+    q8 = jnp.clip(jnp.rint(qf / qs), -127, 127).astype(jnp.int8)
+    dots = jnp.einsum("bqhd,bhdt->bhqt", q8, kv8["k8"], preferred_element_type=jnp.int32)
+    # logits = attn_scale * qs * ks * (q8 . k8)
+    mult = (scale * qs.transpose(0, 2, 1, 3)) * kv8["ks"]  # (B,H,Tq,1)
+    logits = dots.astype(jnp.float32) * mult
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ps = jnp.maximum(jnp.max(probs, axis=-1, keepdims=True), 1e-8) / 127.0  # (B,H,Tq,1)
+    p8 = jnp.clip(jnp.rint(probs / ps), 0, 127).astype(jnp.int8)
+    acc = jnp.einsum("bhqt,bhdt->bqhd", p8, kv8["v8"], preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * ps.transpose(0, 2, 1, 3) * kv8["vs"][:, :, :, 0][:, None]
+    return out.astype(dtype)
+
+
+def init_int8_cache(batch: int, n_heads: int, head_dim: int, length: int):
+    """Empty int8 self-attention decode cache with PER-POSITION scales
+    (each step's k/v get their own (batch, head) scale at write time —
+    the only scale axis that keeps both attention contractions exact)."""
+    return {
+        "k8": jnp.zeros((batch, n_heads, head_dim, length), jnp.int8),
+        "ks": jnp.zeros((batch, n_heads, 1, length), jnp.float32),
+        "v8": jnp.zeros((batch, n_heads, head_dim, length), jnp.int8),
+        "vs": jnp.zeros((batch, n_heads, 1, length), jnp.float32),
+    }
+
+
+def update_int8_cache(cache, kT_new, vT_new, index):
+    """Quantize this step's k/v (B, H, Dh, Tnew) per (batch, head) and
+    write values + scales at time position `index`."""
+    def quant(x):
+        s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True), 1e-8) / 127.0
+        x8 = jnp.clip(jnp.rint(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+        return x8, s
+
+    k8n, ksn = quant(kT_new)
+    v8n, vsn = quant(vT_new)
+    at = (0, 0, 0, index)
+    return {
+        "k8": jax.lax.dynamic_update_slice(cache["k8"], k8n, at),
+        "ks": jax.lax.dynamic_update_slice(cache["ks"], ksn, at),
+        "v8": jax.lax.dynamic_update_slice(cache["v8"], v8n, at),
+        "vs": jax.lax.dynamic_update_slice(cache["vs"], vsn, at),
+    }
+
+
+def self_attention_int8(q, cache, mask=None, dtype=jnp.bfloat16, scale=None):
+    """Decode self-attention over an int8 cache with per-position scales.
+
+    logits_t = attn_scale * qs * ks_t * (q8 . k8_t)    (ks_t factors per t)
+    out_d    = ps * sum_t p8_t v8_td                   (vs_t folded into
+    the probs BEFORE their quantization — it cannot factor out of the
+    contraction over t, but probs*vs is still a per-(b,h,t) elementwise)."""
+    Dh = q.shape[-1]
+    scale = scale if scale is not None else Dh ** -0.5
+    qf = q.astype(jnp.float32)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0  # (B,Tq,H,1)
+    q8 = jnp.clip(jnp.rint(qf / qs), -127, 127).astype(jnp.int8)
+    dots = jnp.einsum("bqhd,bhdt->bhqt", q8, cache["k8"], preferred_element_type=jnp.int32)
+    mult = (scale * qs.transpose(0, 2, 1, 3)) * cache["ks"]  # (B,H,Tq,1)x(B,H,1,T)
+    logits = dots.astype(jnp.float32) * mult
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs * cache["vs"]  # fold per-position V scale
+    ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-12) / 127.0
+    p8 = jnp.clip(jnp.rint(pv / ps), 0, 127).astype(jnp.int8)
+    acc = jnp.einsum("bhqt,bhdt->bqhd", p8, cache["v8"], preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * ps.transpose(0, 2, 1, 3)
+    return out.astype(dtype)
+
+
 def flash_self_attention(q, k, v, lengths=None, scale=None):
     """Fused TPU self-attention (Pallas flash kernel, custom VJP): never
     materializes the (B, H, T, T) logits/probs in HBM — the dominant
@@ -217,6 +337,12 @@ def mha(
     if cache is not None:
         kT = to_decode_kv(km, n_heads)
         vT = to_decode_kv(vm, n_heads)
+        if "k8" in cache:  # int8 decode cache (init_int8_cache)
+            new_cache = update_int8_cache(cache, kT, vT, cache_index if cache_index is not None else 0)
+            if mask is None and lengths is not None:
+                mask = (jnp.arange(new_cache["k8"].shape[-1])[None, :] < lengths[:, None])[:, None, None, :]
+            y = self_attention_int8(q, new_cache, mask=mask, dtype=dtype)
+            return dense(merge_heads(y), params["out"], dtype), new_cache
         if cache_index is not None:
             kT = jax.lax.dynamic_update_slice(cache["k"], kT.astype(cache["k"].dtype), (0, 0, 0, cache_index))
             vT = jax.lax.dynamic_update_slice(cache["v"], vT.astype(cache["v"].dtype), (0, 0, 0, cache_index))

@@ -44,6 +44,11 @@ class WhisperConfig:
     # ~1/3 more FLOPs for O(layers) less activation HBM — how large-v3
     # training fits on one chip)
     remat: bool = False
+    # int8-quantize the precomputed cross-attention K/V: they are re-read
+    # whole every token step (5.9 GB/step at large-v3 B=24 — the dominant
+    # decode HBM term), and the attention dots run as native int8 MXU ops
+    # at 2.4x the bf16 rate (layers.decode_attention_int8)
+    kv_int8: bool = False
 
     @property
     def compute_dtype(self):
@@ -181,8 +186,14 @@ def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
     for blk in params["decoder"]["blocks"]:
         k = L.to_decode_kv(L.dense(audio_features, blk["cross_attn"]["key"], dt), cfg.n_text_head)
         v = L.to_decode_kv(L.dense(audio_features, blk["cross_attn"]["value"], dt), cfg.n_text_head)
-        out.append({"k": k, "v": v})
+        out.append(L.quantize_decode_kv(k, v) if cfg.kv_int8 else {"k": k, "v": v})
     return out
+
+
+def _cross_attention(q, cross_kv, dt):
+    if "k8" in cross_kv:
+        return L.decode_attention_int8(q, cross_kv, dtype=dt)
+    return L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
 
 
 def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
@@ -203,7 +214,7 @@ def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
         # cross-attention with precomputed decode-layout K/V
         xq = L.layer_norm(x, blk["cross_attn_ln"])
         q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
-        y = L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+        y = _cross_attention(q, cross_kv, dt)
         x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
         x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
         new_caches.append(self_c)
@@ -219,6 +230,8 @@ def init_cache(cfg: WhisperConfig, batch: int):
     Dh = cfg.n_text_state // cfg.n_text_head
 
     def empty():
+        if cfg.kv_int8:
+            return L.init_int8_cache(batch, cfg.n_text_head, Dh, cfg.n_text_ctx)
         return {
             "k": jnp.zeros((batch, cfg.n_text_head, Dh, cfg.n_text_ctx), cfg.compute_dtype),
             "v": jnp.zeros((batch, cfg.n_text_head, Dh, cfg.n_text_ctx), cfg.compute_dtype),
@@ -411,7 +424,7 @@ def _decode_step_padded(params, token, pos_idx, slot, pad_len, caches, cross_kvs
         x = x + h
         xq = L.layer_norm(x, blk["cross_attn_ln"])
         q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
-        y = L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+        y = _cross_attention(q, cross_kv, dt)
         x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
         x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
         new_caches.append(self_c)

@@ -44,3 +44,21 @@ def test_fast_dispatch_cpu_falls_back():
     a = float(ctc_loss_fast(lp, ll, labels, lab_len, reduction="sum"))
     b = float(ctc_loss(lp, ll, labels, lab_len, reduction="sum"))
     assert abs(a - b) < 1e-4
+
+
+def test_int8_matmul_interpret_parity():
+    """Fused dequant-matmul kernel (ops.int8_matmul) vs XLA dequant, incl.
+    the M-pad path and an uneven final N block."""
+    from ssak_tpu.models.quant import dequantize_kernel, quantize_kernel
+    from ssak_tpu.ops.int8_matmul import matmul_int8
+
+    rng = np.random.RandomState(0)
+    for (M, K, N) in [(24, 256, 256), (4, 256, 640), (17, 512, 300)]:
+        w = rng.randn(K, N).astype(np.float32) * 0.05
+        qd = quantize_kernel(w, bits=8)
+        x = (rng.randn(M, K) * 0.3).astype(np.float32)
+        y = matmul_int8(jnp.asarray(x), jnp.asarray(qd["q8"]), jnp.asarray(qd["scale"]), interpret=True)
+        wq = dequantize_kernel({k: jnp.asarray(v) for k, v in qd.items()}, jnp.bfloat16)
+        ref = jnp.matmul(jnp.asarray(x).astype(jnp.bfloat16), wq, preferred_element_type=jnp.float32)
+        err = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 2e-2, ((M, K, N), err)

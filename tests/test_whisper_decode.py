@@ -80,3 +80,63 @@ def test_fallback_chain(model):
     assert all(isinstance(t, str) for t in texts)
     # compression ratio sanity
     assert compression_ratio("a a a a a a a a a a a a a a") > compression_ratio("the quick brown fox")
+
+
+# --- int8 KV decode (layers.decode_attention_int8 / self_attention_int8) --
+
+
+def test_int8_kv_attention_op_parity():
+    """Quantized decode attention matches full-precision within int8 noise."""
+    from ssak_tpu.models import layers as L
+
+    rng = np.random.RandomState(0)
+    B, H, Dh, T = 2, 4, 64, 96
+    q = jnp.asarray(rng.randn(B, 1, H, Dh).astype(np.float32)) * 0.5
+    kT = jnp.asarray(rng.randn(B, H, Dh, T).astype(np.float32)) * 0.5
+    vT = jnp.asarray(rng.randn(B, H, Dh, T).astype(np.float32)) * 0.5
+    ref = L.decode_attention(q, kT, vT, dtype=jnp.float32)
+    out = L.decode_attention_int8(q, L.quantize_decode_kv(kT, vT), dtype=jnp.float32)
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.05 * float(jnp.max(jnp.abs(ref))) + 1e-3
+
+
+def test_int8_self_cache_parity():
+    """int8 self-attention cache (per-position scales) matches the bf16
+    cache path step by step."""
+    from ssak_tpu.models import layers as L
+
+    rng = np.random.RandomState(1)
+    B, H, Dh, Tctx, D = 2, 2, 32, 8, 64
+    key = jax.random.PRNGKey(0)
+    params = {
+        name: L.linear_init(k, D, D)
+        for name, k in zip(["query", "key", "value", "out"], jax.random.split(key, 4))
+    }
+    cache_f = {
+        "k": jnp.zeros((B, H, Dh, Tctx), jnp.float32),
+        "v": jnp.zeros((B, H, Dh, Tctx), jnp.float32),
+    }
+    cache_q = L.init_int8_cache(B, H, Dh, Tctx)
+    for pos in range(4):
+        x = jnp.asarray(rng.randn(B, 1, D).astype(np.float32)) * 0.3
+        kmask = (jnp.arange(Tctx)[None, None, None, :] <= pos)
+        yf, cache_f = L.mha(x, params, H, mask=kmask, cache=cache_f, cache_index=pos, dtype=jnp.float32)
+        yq, cache_q = L.mha(x, params, H, mask=kmask, cache=cache_q, cache_index=pos, dtype=jnp.float32)
+        err = float(jnp.max(jnp.abs(yf - yq)))
+        assert err < 0.05 * float(jnp.max(jnp.abs(yf))) + 1e-3, (pos, err)
+
+
+def test_int8_kv_greedy_and_beam_parity(model):
+    """cfg.kv_int8 decode (int8 cross-KV + int8 self cache) produces the
+    same tokens as full precision on the tiny model."""
+    params, cfg = model
+    cfg8 = whisper.make_config("tiny_test", kv_int8=True)
+    rng = np.random.RandomState(5)
+    mel = jnp.asarray(rng.randn(3, cfg.n_mels, 200).astype(np.float32) * 0.1)
+    prompt = [cfg.sot, cfg.no_timestamps]
+    t0, l0 = whisper.greedy_decode(params, mel, cfg, prompt, max_tokens=12)
+    t8, l8 = whisper.greedy_decode(params, mel, cfg8, prompt, max_tokens=12)
+    assert float(jnp.mean((t0 == t8).astype(jnp.float32))) > 0.9
+    bt0, bl0, bs0 = whisper.beam_decode(params, mel, cfg, prompt, beam_size=3, max_tokens=8)
+    bt8, bl8, bs8 = whisper.beam_decode(params, mel, cfg8, prompt, beam_size=3, max_tokens=8)
+    assert float(jnp.mean((bt0 == bt8).astype(jnp.float32))) > 0.9
+    assert float(jnp.max(jnp.abs(bs0 - bs8))) < 0.1
