@@ -338,7 +338,13 @@ def mha(
         kT = to_decode_kv(km, n_heads)
         vT = to_decode_kv(vm, n_heads)
         if "k8" in cache:  # int8 decode cache (init_int8_cache)
-            new_cache = update_int8_cache(cache, kT, vT, cache_index if cache_index is not None else 0)
+            # the int8 cache is preallocated-only: writing at an implicit
+            # slot 0 and attending over the whole buffer (where unwritten
+            # slots have k=0 -> logit 0, NOT -inf) would silently leak
+            # softmax mass — unlike the bf16 branch, which replaces the
+            # cache wholesale when cache_index is None
+            assert cache_index is not None, "int8 KV cache requires cache_index (decode-step use only)"
+            new_cache = update_int8_cache(cache, kT, vT, cache_index)
             if mask is None and lengths is not None:
                 mask = (jnp.arange(new_cache["k8"].shape[-1])[None, :] < lengths[:, None])[:, None, None, :]
             y = self_attention_int8(q, new_cache, mask=mask, dtype=dtype)

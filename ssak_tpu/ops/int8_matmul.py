@@ -11,6 +11,11 @@ the kernel streams int8 blocks HBM->VMEM, feeds the MXU, and applies the
 per-output-channel scale to the (tiny) accumulator tile, so the weight
 traffic truly is 1 byte/param.
 
+The win is int8 HBM STREAMING, not int8 MXU rate: the kernel widens the
+int8 weight block to bf16 in VMEM before the dot (activations are bf16;
+an s8xs8 dot would require quantizing x per call for no bandwidth gain —
+the op is HBM-bound, so halving the weight bytes is the whole prize).
+
 Layout notes (capability counterpart of the reference's bitsandbytes
 load_in_8bit decode path, ssak/train/transformers/whisper_train.py:374):
   - symmetric per-output-channel scales commute with the contraction:
@@ -93,7 +98,14 @@ def matmul_int8(x, q8, scale, block_n: int = None, interpret: bool = False):
 
 def int8_dense_supported(x, q8) -> bool:
     """Shapes the kernel handles well: decode-shaped activations (one
-    token per sequence) over lane-aligned contractions."""
+    token per sequence) over lane-aligned contractions.
+
+    Platform gate: checked against the DEFAULT backend at trace time (the
+    Pallas TPU kernel only lowers for TPU). A CPU-placed jit inside a
+    TPU-default process would mis-route here; quantized dense therefore
+    requires default-backend placement — every ssak_tpu decode entry point
+    satisfies this (CLIs pin the platform process-wide via
+    utils.env.apply_platform_env before any trace)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     K, N = q8.shape
