@@ -279,9 +279,34 @@ def greedy_decode(params, mel, cfg: WhisperConfig, prompt, max_tokens: int = Non
     return tokens, lengths
 
 
-def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: float = 1.0, max_tokens: int = None):
+def _tile_rows(tree, n: int):
+    """Repeat every leaf n times along axis 0 (row b -> rows b*n..b*n+n-1)."""
+    return jax.tree_util.tree_map(lambda x: jnp.repeat(x, n, axis=0), tree)
+
+
+def _best_of_select(tokens, lengths, sum_logprob, B: int, best_of: int):
+    """(B*best_of, ...) candidates -> per-utterance best by avg logprob
+    (openai-whisper MaximumLikelihoodRanker: sum_logprob / (length + 1))."""
+    L = tokens.shape[1]
+    tokens = tokens.reshape(B, best_of, L)
+    lengths = lengths.reshape(B, best_of)
+    sum_logprob = sum_logprob.reshape(B, best_of)
+    avg = sum_logprob / (lengths.astype(jnp.float32) + 1.0)
+    best = jnp.argmax(avg, axis=1)  # (B,)
+    take = lambda x: jnp.take_along_axis(x, best.reshape(B, *([1] * (x.ndim - 1))), axis=1)
+    return take(tokens)[:, 0], take(lengths)[:, 0], take(sum_logprob)[:, 0]
+
+
+def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: float = 1.0, max_tokens: int = None, best_of: int = 1):
     """Temperature sampling decode (used by the temperature-fallback chain,
     reference whisper_infer.py accurate preset / openai-whisper semantics).
+
+    best_of > 1 draws that many independent candidates per utterance and
+    keeps the highest-average-logprob one (reference whisper_infer.py:24
+    `best_of`, :319-322 `--accurate` => best_of=5). The encoder pass and the
+    prompt teacher-forcing run ONCE per utterance; only the sampling scan is
+    tiled to B*best_of rows (candidates share the cross-attention K/V).
+
     Returns (tokens, lengths, sum_logprob (B,))."""
     B = mel.shape[0]
     max_tokens = max_tokens or (cfg.n_text_ctx - len(prompt) - 1)
@@ -293,6 +318,13 @@ def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: flo
     for i, tok in enumerate(prompt):
         token = jnp.full((B, 1), int(tok), jnp.int32)
         logits, caches = _decode_step(params, token, i, caches, cross_kvs, cfg)
+
+    n = best_of if temperature > 0 else 1
+    if n > 1:
+        logits = jnp.repeat(logits, n, axis=0)
+        caches = _tile_rows(caches, n)
+        cross_kvs = _tile_rows(cross_kvs, n)
+    Bn = B * n
 
     def pick(logits, k):
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -325,6 +357,8 @@ def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: flo
         tokens = first[:, None]
     sum_logprob = carry[3]
     lengths = jnp.sum(tokens != cfg.eot, axis=1)
+    if n > 1:
+        tokens, lengths, sum_logprob = _best_of_select(tokens, lengths, sum_logprob, B, n)
     return tokens, lengths, sum_logprob
 
 
@@ -487,6 +521,7 @@ def decode_window(
     params, mel, prompt, prompt_len, cfg: WhisperConfig, *,
     sot_distance: int, max_tokens: int, with_timestamps: bool = False,
     temperature: float = 0.0, key=None, max_initial_timestamp_index: int = 50,
+    best_of: int = 1,
 ):
     """Full-fidelity single-window decode: the device half of the
     openai-whisper transcribe loop the reference drives
@@ -527,6 +562,17 @@ def decode_window(
     )
     no_speech_prob = jax.nn.softmax(probe_logits, axis=-1)[:, cfg.no_speech]
 
+    # best_of candidates (reference whisper_infer.py:24): encoder + prompt
+    # forcing ran once; tile only the sampling scan's state. The probe is
+    # deterministic, so no_speech_prob stays per-utterance.
+    n = best_of if temperature > 0 else 1
+    if n > 1:
+        caches = _tile_rows(caches, n)
+        cross_kvs = _tile_rows(cross_kvs, n)
+        last_logits = jnp.repeat(last_logits, n, axis=0)
+        pad_len = jnp.repeat(pad_len, n, axis=0)
+    Bn = B * n
+
     def pick(logits, k):
         logp = jax.nn.log_softmax(logits, axis=-1)
         if temperature > 0:
@@ -537,7 +583,7 @@ def decode_window(
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    false = jnp.zeros((B,), bool)
+    false = jnp.zeros((Bn,), bool)
     first_logits = _apply_decode_rules(
         last_logits, cfg, with_timestamps=with_timestamps, is_first=True,
         max_initial_timestamp_index=max_initial_timestamp_index,
@@ -586,6 +632,8 @@ def decode_window(
         tokens = first[:, None]
     sum_logprob = carry[3]
     lengths = jnp.sum(tokens != cfg.eot, axis=1)
+    if n > 1:
+        tokens, lengths, sum_logprob = _best_of_select(tokens, lengths, sum_logprob, B, n)
     return tokens, lengths, sum_logprob, no_speech_prob
 
 

@@ -82,6 +82,69 @@ def test_fallback_chain(model):
     assert compression_ratio("a a a a a a a a a a a a a a") > compression_ratio("the quick brown fox")
 
 
+def _avg_logprob(lp, lens):
+    return np.asarray(lp) / (np.asarray(lens).astype(np.float32) + 1.0)
+
+
+def test_best_of_picks_higher_avg_logprob(model):
+    """best_of=4 at T=0.8 must select a candidate whose avg logprob beats a
+    single draw (reference whisper_infer.py:24 --best_of / --accurate)."""
+    params, cfg = model
+    rng = np.random.RandomState(4)
+    mel = jnp.asarray(rng.randn(2, cfg.n_mels, 200).astype(np.float32) * 0.3)
+    prompt = [cfg.sot, cfg.no_timestamps]
+    key = jax.random.PRNGKey(7)
+    t1, l1, lp1 = whisper.sample_decode(params, mel, cfg, prompt, key, temperature=0.8, max_tokens=8, best_of=1)
+    t4, l4, lp4 = whisper.sample_decode(params, mel, cfg, prompt, key, temperature=0.8, max_tokens=8, best_of=4)
+    a1, a4 = _avg_logprob(lp1, l1), _avg_logprob(lp4, l4)
+    # max over 4 i.i.d. draws dominates one draw on every utterance here
+    assert (a4 >= a1 - 1e-6).all(), (a1, a4)
+    assert t4.shape == t1.shape and l4.shape == l1.shape
+
+
+def test_best_of_selection_is_argmax_over_candidates(model):
+    """The returned candidate must be the avg-logprob argmax of the exact
+    set that an untiled per-candidate run would produce: sampling is
+    per-row independent, so running the same key over the tiled batch
+    reproduces each candidate row."""
+    params, cfg = model
+    rng = np.random.RandomState(6)
+    mel = jnp.asarray(rng.randn(1, cfg.n_mels, 200).astype(np.float32) * 0.3)
+    prompt = [cfg.sot, cfg.no_timestamps]
+    key = jax.random.PRNGKey(3)
+    n = 3
+    tiled = jnp.repeat(mel, n, axis=0)
+    tc, lc, lpc = whisper.sample_decode(params, tiled, cfg, prompt, key, temperature=0.8, max_tokens=6, best_of=1)
+    tb, lb, lpb = whisper.sample_decode(params, mel, cfg, prompt, key, temperature=0.8, max_tokens=6, best_of=n)
+    best = int(np.argmax(_avg_logprob(lpc, lc)))
+    assert np.asarray(tb)[0].tolist() == np.asarray(tc)[best].tolist()
+    assert float(lpb[0]) == pytest.approx(float(lpc[best]), abs=1e-4)
+
+
+def test_decode_window_best_of(model):
+    """decode_window best_of: shapes stay per-utterance, no_speech_prob is
+    unaffected, and T=0 ignores best_of entirely."""
+    params, cfg = model
+    rng = np.random.RandomState(8)
+    mel = jnp.asarray(rng.randn(2, cfg.n_mels, 200).astype(np.float32) * 0.3)
+    P = 4
+    prompt = np.full((2, P), cfg.eot, np.int32)
+    prompt[:, P - 2 :] = [cfg.sot, cfg.no_timestamps]
+    plen = jnp.asarray([2, 2], jnp.int32)
+    kw = dict(sot_distance=2, max_tokens=6, with_timestamps=False)
+    t0, l0, lp0, ns0 = whisper.decode_window(params, mel, jnp.asarray(prompt), plen, cfg, temperature=0.0, best_of=4, **kw)
+    t0r, _, _, ns0r = whisper.decode_window(params, mel, jnp.asarray(prompt), plen, cfg, temperature=0.0, **kw)
+    assert (np.asarray(t0) == np.asarray(t0r)).all()
+    key = jax.random.PRNGKey(11)
+    t1, l1, lp1, ns1 = whisper.decode_window(params, mel, jnp.asarray(prompt), plen, cfg, temperature=0.8, key=key, best_of=4, **kw)
+    tb, lb, lpb, _ = whisper.decode_window(params, mel, jnp.asarray(prompt), plen, cfg, temperature=0.8, key=key, best_of=1, **kw)
+    assert t1.shape == (2, 6) and l1.shape == (2,)
+    np.testing.assert_allclose(np.asarray(ns1), np.asarray(ns0), atol=1e-5)
+    # best-of-4 dominates a single draw in expectation (the draws are
+    # independent of the best_of=1 ones, so compare at the corpus level)
+    assert _avg_logprob(lp1, l1).mean() >= _avg_logprob(lpb, lb).mean() - 1e-6
+
+
 # --- int8 KV decode (layers.decode_attention_int8 / self_attention_int8) --
 
 
