@@ -1,6 +1,6 @@
 from ssak_tpu.decode.ctc_beam import ctc_beam_search_device, ctc_prefix_beam_search
 from ssak_tpu.decode.lexicon import Lexicon
-from ssak_tpu.decode.lm import ArpaLM, char_lm_table, train_ngram_lm
+from ssak_tpu.decode.lm import ArpaLM, char_lm_table, train_ngram_lm, word_lm_device_tables
 
 __all__ = [
     "ctc_prefix_beam_search",
@@ -9,4 +9,5 @@ __all__ = [
     "Lexicon",
     "train_ngram_lm",
     "char_lm_table",
+    "word_lm_device_tables",
 ]

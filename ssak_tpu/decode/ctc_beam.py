@@ -8,11 +8,13 @@ Two engines with one semantics:
   word-LM decoding.
 
 * `ctc_beam_search_device` — batched ON-DEVICE beam as a lax.scan: beams
-  carry (prefix rolling hash, last token, log p_blank, log p_nonblank);
-  duplicate prefixes are merged by sorting on the hash and segment-
-  logsumexp; char-level LM fusion is a dense-table gather (no host
-  callbacks — the reference does all of this on CPU in C++). Backpointers
-  stream to the host for text reconstruction.
+  carry (prefix rolling hash, last token, log p_blank, log p_nonblank,
+  lexicon trie node, word-LM context); stay-vs-extend duplicates merge by
+  exact hash equality + logsumexp; char-level LM fusion is a dense-table
+  gather and WORD-level n-gram fusion is a hashed-table backoff lookup at
+  lexicon word boundaries (no host callbacks — the reference does all of
+  this on CPU in C++). Backpointers stream to the host for text
+  reconstruction.
 """
 
 import math
@@ -136,34 +138,104 @@ def _extend_state(state, token, lm, alpha, beta, word_delimiter, lexicon=None):
 _DEVICE_BEAM_CACHE = {}
 
 
-def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
-    """Build + cache the jitted scan for one (T, V, K, LM, lexicon)
+def _hashed_lookup(table, ids, scale, probes):
+    """Probe a decode.lm.HashedNgrams table on device. ids: tuple of
+    int32 arrays (broadcastable, the n-gram most-recent-last). probes is
+    STATIC (host-computed worst-case probe count — unrolled). Returns
+    (value * scale, hit) arrays shaped like ids[0]."""
+    import jax.numpy as jnp
+
+    from ssak_tpu.decode.lm import _H_SEED1, _H_SEED2, _ngram_mix
+
+    fp_tab, val_tab = table["fp"], table["val"]
+    M = fp_tab.shape[0]
+    uids = tuple(i.astype(jnp.uint32) for i in ids)
+    h1 = _ngram_mix(uids, jnp.uint32(_H_SEED1), jnp)
+    h2 = _ngram_mix(uids, jnp.uint32(_H_SEED2), jnp)
+    h2 = jnp.where(h2 == 0, jnp.uint32(1), h2)
+    idx = h1 & jnp.uint32(M - 1)
+    val = jnp.zeros(h1.shape, jnp.float32)
+    hit = jnp.zeros(h1.shape, bool)
+    stop = jnp.zeros(h1.shape, bool)
+    for i in range(probes):
+        j = (idx + jnp.uint32(i)) & jnp.uint32(M - 1)
+        f = fp_tab[j]
+        now = (f == h2) & ~stop
+        val = jnp.where(now, val_tab[j], val)
+        hit = hit | now
+        stop = stop | now | (f == 0)
+    return val * scale, hit
+
+
+def _word_lm_score(wlm, ctx, w, scale, order, probes):
+    """Backoff word n-gram score on device, exactly ArpaLM._score's
+    recursion unrolled for order<=3. ctx: (..., order-1) int32 word ids
+    most-recent-last (pad/bos rows score-through correctly: a padded
+    context never matches an n-gram and its backoff row is 0, reproducing
+    the short-context startup scoring of the host beam). w: (...,) valid
+    word ids. order/probes are STATIC. Returns scale * log10 P(w | ctx)."""
+    import jax.numpy as jnp
+
+    uni_w = wlm["uni"][w] * scale
+    if order == 1:
+        return uni_w
+    c2 = ctx[..., -1]
+    v2, hit2 = _hashed_lookup(wlm["bi"], (c2, w), scale, probes["bi"])
+    s2 = jnp.where(hit2, v2, wlm["uni_backoff"][c2] * scale + uni_w)
+    if order == 2:
+        return s2
+    c1 = ctx[..., -2]
+    v3, hit3 = _hashed_lookup(wlm["tri"], (c1, c2, w), scale, probes["tri"])
+    bo2, _ = _hashed_lookup(wlm["bi_backoff"], (c1, c2), scale, probes["bi_backoff"])
+    return jnp.where(hit3, v3, bo2 + s2)
+
+
+def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, word_cfg=None):
+    """Build + cache the jitted scan for one (T, V, K, LM, lexicon, word-LM)
     signature.
 
     Sort-free TPU design: because live beams always hold DISTINCT prefixes,
     the only duplicate class each step is stay-vs-extend (extending beam j
     with token c can recreate beam k's prefix). That merge is an exact
-    (B, K, V, K) hash-equality + logsumexp — no lexsort; and top-K over the
-    K*(V+1) candidates is K iterative argmax extractions — no bitonic sort.
-    The sort-based version of this scan took ~670 s to compile and ~21 ms
-    per frame on v5e; this one compiles in seconds and runs ~100x faster.
+    (B, K, V, K) hash-equality + logsumexp — no lexsort; top-K over the
+    K + K*V candidates is ONE lax.top_k (a fused sort over ~800 lanes per
+    row — measured faster than K iterative argmax extractions, which
+    serialize K reduce+mask rounds inside every scan step).
 
     use_lexicon: beams additionally carry a trie NODE id; extensions gather
     a (B, K, V) next-node row from the dense lexicon transition table
     (decode/lexicon.Lexicon.device_tables — the WFST L composition as an
     HBM gather), forbidden transitions score -inf, and end-of-utterance
     requires an accepting/boundary node.
+
+    word_cfg (requires use_lexicon): WORD n-gram shallow fusion fully
+    on-device (the KenLM/pyctcdecode semantics of reference
+    transformers_infer.py:272-289). Beams carry (order-1) previous word
+    ids; at each accept-node -> root (delimiter) extension the completed
+    word (lexicon.node_word_ids) is scored by backoff lookup in hashed
+    n-gram tables and alpha*ln10*log10P + beta is fused into the extension
+    score BEFORE top-K — identical placement to the host beam's
+    _extend_state, so device and host beams agree. A trailing complete
+    word is scored at end-of-utterance the same way.
     """
     import jax
     import jax.numpy as jnp
 
     HASH_P = jnp.uint32(1000003)
+    word_order = word_cfg["order"] if word_cfg else 0
+    word_probes = dict(word_cfg["probes"]) if word_cfg else {}
 
-    def run(log_probs, frame_lengths, lm_tab, lex_trans, lex_accept):
+    def run(log_probs, frame_lengths, aux):
         B = log_probs.shape[0]
+        lm_tab = aux.get("char_lm")
+        if use_lexicon:
+            lex_trans, lex_accept = aux["lex_trans"], aux["lex_accept"]
+        wlm = aux.get("word_lm")
+        beta = aux.get("word_beta", 0.0)
+        alpha_scale = aux.get("word_alpha_scale", 1.0)
 
         def step(carry, t):
-            hashes, last, p_b, p_nb, ctx, node = carry
+            hashes, last, p_b, p_nb, ctx, node, wctx = carry
             frame = log_probs[:, t]  # (B, V)
             active = (t < frame_lengths)[:, None]  # (B, 1)
 
@@ -188,6 +260,15 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
             if use_lexicon:
                 nxt = lex_trans[node]  # (B, K, V) gather of trie rows
                 ext_scores = jnp.where(nxt >= 0, ext_scores, LOG0)
+                if word_order:
+                    # word completion = transition into the root from an
+                    # accepting node (only delimiter columns do this)
+                    accept_node = aux["lex_accept"][node]  # (B, K)
+                    wid = aux["node_word"][node]  # (B, K), -1 if not accepting
+                    w_safe = jnp.clip(wid, 0, wlm["uni"].shape[0] - 1)
+                    w_inc = _word_lm_score(wlm, wctx, w_safe, alpha_scale, word_order, word_probes) + beta  # (B, K)
+                    completing = (nxt == 0) & accept_node[..., None]  # (B, K, V)
+                    ext_scores = ext_scores + jnp.where(completing, w_inc[..., None], 0.0)
             ext_hash = hashes[..., None] * HASH_P + jnp.arange(V, dtype=jnp.uint32)[None, None, :]
 
             # --- stay candidates: blank from anywhere, repeat from p_nb
@@ -206,20 +287,11 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
             stay_nb = jnp.logaddexp(stay_nb, merged_in)
             ext_scores = jnp.where(jnp.any(eq, axis=3), LOG0, ext_scores)
 
-            # --- candidates: K stays then K*V extends
+            # --- candidates: K stays then K*V extends; ONE fused top-K
             cand_score = jnp.concatenate(
                 [jnp.logaddexp(stay_b, stay_nb), ext_scores.reshape(B, K * V)], axis=1
             )  # (B, K + K*V)
-
-            # --- top-K by iterative extraction (K argmaxes, no sort)
-            picked = []
-            work = cand_score
-            for _ in range(K):
-                idx = jnp.argmax(work, axis=1)  # (B,)
-                picked.append(idx)
-                work = jnp.where(jnp.arange(K + K * V)[None, :] == idx[:, None], LOG0, work)
-            flat_idx = jnp.stack(picked, axis=1)  # (B, K)
-            top_scores = jnp.take_along_axis(cand_score, flat_idx, axis=1)
+            top_scores, flat_idx = jax.lax.top_k(cand_score, K)  # (B, K) each
 
             is_stay = flat_idx < K
             src_beam = jnp.where(is_stay, flat_idx, (flat_idx - K) // V)
@@ -252,6 +324,18 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
             else:
                 new_node = node
 
+            if word_order:
+                old_wctx = jnp.take_along_axis(wctx, src_beam[..., None], axis=1)
+                comp_src = jnp.take_along_axis(completing, src_beam[..., None], axis=1)  # (B, K, V)
+                comp_sel = jnp.take_along_axis(comp_src, jnp.clip(tok, 0, V - 1)[..., None], axis=2)[..., 0]
+                comp_sel = comp_sel & ~is_stay
+                w_src = jnp.take_along_axis(jnp.clip(wid, 0, wlm["uni"].shape[0] - 1), src_beam, axis=1)
+                shifted_w = jnp.concatenate([old_wctx[..., 1:], w_src[..., None]], axis=-1)
+                new_wctx = jnp.where(comp_sel[..., None], shifted_w, old_wctx)
+                new_wctx = jnp.where(active[..., None], new_wctx, wctx)
+            else:
+                new_wctx = wctx
+
             # freeze finished sequences
             new_hash = jnp.where(active, new_hash, hashes)
             new_last = jnp.where(active, new_last, last)
@@ -260,7 +344,7 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
 
             emit_tok = jnp.where(active & ~is_stay, tok, -1)
             src = jnp.where(active, src_beam, jnp.arange(K)[None, :].repeat(B, 0))
-            return (new_hash, new_last, new_pb, new_pnb, new_ctx, new_node), (src.astype(jnp.int32), emit_tok.astype(jnp.int32))
+            return (new_hash, new_last, new_pb, new_pnb, new_ctx, new_node, new_wctx), (src.astype(jnp.int32), emit_tok.astype(jnp.int32))
 
         hashes0 = jnp.ones((B, K), jnp.uint32) * (jnp.arange(K, dtype=jnp.uint32)[None, :] * jnp.uint32(2654435761) + 1)
         last0 = jnp.full((B, K), -1, jnp.int32)
@@ -268,26 +352,60 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False):
         p_nb0 = jnp.full((B, K), LOG0, jnp.float32)
         ctx0 = jnp.zeros((B, K, max(1, order - 1)), jnp.int32)
         node0 = jnp.zeros((B, K), jnp.int32)
+        if word_order:
+            # context starts as [<pad>, ..., <s>]: pad never matches an
+            # n-gram, reproducing the host beam's 1-word startup context
+            wctx0 = jnp.full((B, K, max(1, word_order - 1)), word_cfg["pad"], jnp.int32)
+            wctx0 = wctx0.at[..., -1].set(word_cfg["bos"])
+        else:
+            wctx0 = jnp.zeros((B, K, 1), jnp.int32)
 
-        (hashes, last, p_b, p_nb, _ctx, node), (srcs, toks) = jax.lax.scan(
-            step, (hashes0, last0, p_b0, p_nb0, ctx0, node0), jnp.arange(T)
+        (hashes, last, p_b, p_nb, _ctx, node, wctx), (srcs, toks) = jax.lax.scan(
+            step, (hashes0, last0, p_b0, p_nb0, ctx0, node0, wctx0), jnp.arange(T)
         )
         final = jnp.logaddexp(p_b, p_nb)
         if use_lexicon:
             # a mid-word ending is not a final state (same rule as the host
             # beam's trailing-partial check)
-            ok = (node == 0) | lex_accept[node]
+            accept_node = aux["lex_accept"][node]
+            ok = (node == 0) | accept_node
             final = jnp.where(ok, final, LOG0)
+            if word_order:
+                wlm_f = aux["word_lm"]
+                wid_f = aux["node_word"][node]
+                w_safe = jnp.clip(wid_f, 0, wlm_f["uni"].shape[0] - 1)
+                tail = _word_lm_score(wlm_f, wctx, w_safe, aux.get("word_alpha_scale", 1.0), word_order, word_probes) + aux.get("word_beta", 0.0)
+                final = final + jnp.where(accept_node, tail, 0.0)
         best = jnp.argmax(final, axis=1)  # (B,)
         return best, srcs, toks
 
-    if use_lm and use_lexicon:
-        return jax.jit(run)
-    if use_lm:
-        return jax.jit(lambda lp, fl, lm: run(lp, fl, lm, None, None))
-    if use_lexicon:
-        return jax.jit(lambda lp, fl, tr, ac: run(lp, fl, None, tr, ac))
-    return jax.jit(lambda lp, fl: run(lp, fl, None, None, None))
+    return jax.jit(run)
+
+
+def _prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta):
+    """Device-side arrays for word n-gram fusion (word_lm from
+    decode.lm.word_lm_device_tables; lexicon_tables must include the
+    node_word array as third element)."""
+    import jax.numpy as jnp
+
+    def to_dev(tab):
+        return {"fp": jnp.asarray(tab.fp), "val": jnp.asarray(tab.val)}
+
+    wlm = {
+        "uni": jnp.asarray(word_lm["uni"]),
+        "uni_backoff": jnp.asarray(word_lm["uni_backoff"]),
+    }
+    if word_lm["order"] >= 2:
+        wlm["bi"] = to_dev(word_lm["bi"])
+    if word_lm["order"] >= 3:
+        wlm["bi_backoff"] = to_dev(word_lm["bi_backoff"])
+        wlm["tri"] = to_dev(word_lm["tri"])
+    return {
+        "word_lm": wlm,
+        "node_word": jnp.asarray(lexicon_tables[2]),
+        "word_alpha_scale": jnp.float32(lm_alpha * LOG10),
+        "word_beta": jnp.float32(lm_beta),
+    }
 
 
 def ctc_beam_search_device(
@@ -298,16 +416,22 @@ def ctc_beam_search_device(
     lm_table=None,
     lm_alpha: float = 0.5,
     lexicon_tables=None,
+    word_lm=None,
+    lm_beta: float = 1.5,
 ):
     """Batched beam search on device.
 
     log_probs: (B, T, V) jax array of log-softmax outputs.
     lm_table: optional dense char-LM (V_lm,)*order numpy table in log10
     (see ssak_tpu.decode.lm.char_lm_table); fused per extension.
-    lexicon_tables: optional (trans, accept) from
-    decode.lexicon.Lexicon.device_tables — constrains hypotheses to
-    in-lexicon words entirely on device (the Vosk capability without
-    leaving the chip).
+    lexicon_tables: optional (trans, accept[, node_word]) from
+    decode.lexicon.Lexicon.device_tables (+ node_word_ids) — constrains
+    hypotheses to in-lexicon words entirely on device (the Vosk capability
+    without leaving the chip).
+    word_lm: optional decode.lm.word_lm_device_tables dict — WORD n-gram
+    shallow fusion scored at word boundaries on device with pyctcdecode
+    weights (alpha=lm_alpha, beta=lm_beta); requires lexicon_tables with
+    node_word (the trie identifies which word each accept node completes).
 
     Returns (tokens (B, T) int32 padded -1, lengths (B,)) for the best beam,
     reconstructed on host from streamed backpointers.
@@ -320,34 +444,45 @@ def ctc_beam_search_device(
     use_lm = lm_table is not None
     use_lexicon = lexicon_tables is not None
     order = lm_table.ndim if use_lm else 1
-    key = (T, V, K, blank_id, order, use_lm, use_lexicon)
+    if word_lm is not None:
+        assert use_lexicon and len(lexicon_tables) >= 3, "word_lm requires lexicon_tables with node_word_ids"
+        word_cfg = {"order": word_lm["order"], "bos": word_lm["bos"], "pad": word_lm["pad"],
+                    "probes": tuple(sorted((k, v.max_probe) for k, v in word_lm.items() if hasattr(v, "max_probe")))}
+    else:
+        word_cfg = None
+    key = (T, V, K, blank_id, order, use_lm, use_lexicon,
+           tuple(sorted(word_cfg.items())) if word_cfg else None)
     if key not in _DEVICE_BEAM_CACHE:
-        _DEVICE_BEAM_CACHE[key] = _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon)
+        _DEVICE_BEAM_CACHE[key] = _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon, word_cfg)
     prog = _DEVICE_BEAM_CACHE[key]
-    args = [log_probs, frame_lengths]
+    aux = {}
     if use_lm:
-        args.append(jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha)  # natural log, weighted
+        aux["char_lm"] = jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha  # natural log, weighted
     if use_lexicon:
-        args += [jnp.asarray(lexicon_tables[0]), jnp.asarray(lexicon_tables[1])]
-    best, srcs, toks = prog(*args)
+        aux["lex_trans"] = jnp.asarray(lexicon_tables[0])
+        aux["lex_accept"] = jnp.asarray(lexicon_tables[1])
+    if word_lm is not None:
+        aux.update(_prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta))
+    best, srcs, toks = prog(log_probs, frame_lengths, aux)
+    return _backtrace(np.asarray(best), np.asarray(srcs), np.asarray(toks), np.asarray(frame_lengths))
 
-    # host backtrace through (T, B, K) parent pointers
-    srcs = np.asarray(srcs)
-    toks = np.asarray(toks)
-    best = np.asarray(best)
-    lengths = np.asarray(frame_lengths)
+
+def _backtrace(best, srcs, toks, lengths):
+    """Vectorized host backtrace through (T, B, K) parent pointers: one
+    numpy step per frame over the whole batch (the per-(b, t) Python loop
+    was ~16k iterations per 32x10s batch)."""
+    T, B, K = srcs.shape
+    bidx = np.arange(B)
+    k = best.astype(np.int64)
+    emitted = np.full((B, T), -1, np.int32)
+    for t in range(T - 1, -1, -1):
+        valid = t < lengths
+        emitted[:, t] = np.where(valid, toks[t, bidx, k], -1)
+        k = np.where(valid, srcs[t, bidx, k], k)
     out = np.full((B, T), -1, np.int32)
     out_lens = np.zeros((B,), np.int32)
     for b in range(B):
-        k = int(best[b])
-        seq = []
-        for t in range(T - 1, -1, -1):
-            if t < lengths[b]:
-                tok = int(toks[t, b, k])
-                if tok >= 0:
-                    seq.append(tok)
-            k = int(srcs[t, b, k])
-        seq.reverse()
+        seq = emitted[b][emitted[b] >= 0]
         out[b, : len(seq)] = seq
         out_lens[b] = len(seq)
     return out, out_lens

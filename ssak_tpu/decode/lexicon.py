@@ -92,3 +92,26 @@ class Lexicon:
                 trans[accept, i] = 0
                 trans[0, i] = 0  # consecutive delimiters are a no-op
         return trans, accept
+
+    def word_list(self):
+        """Word-id space for on-device word-LM fusion: sorted words; ids are
+        shared between node_word_ids() and lm.word_lm_device_tables()."""
+        return sorted(self.words)
+
+    def node_word_ids(self):
+        """(N,) int32: the word completed at each ACCEPTING trie node (index
+        into word_list()), -1 elsewhere. Node numbering matches
+        device_tables(). This is what lets the device beam score a word
+        n-gram exactly at the accept-node -> root (delimiter) transition."""
+        import numpy as np
+
+        words = self.word_list()
+        wid = {w: i for i, w in enumerate(words)}
+        node_of = {"": 0}
+        for p in sorted(self.prefixes):
+            node_of.setdefault(p, len(node_of))
+        node_word = np.full(len(node_of), -1, np.int32)
+        for p, n in node_of.items():
+            if p in self.words:
+                node_word[n] = wid[p]
+        return node_word

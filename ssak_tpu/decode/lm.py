@@ -125,6 +125,127 @@ def char_lm_table(lm: ArpaLM, vocab: list, order: int = None):
     return table, order
 
 
+# --- on-device WORD n-gram tables (hashed) ---------------------------------
+#
+# The device CTC beam (decode/ctc_beam.ctc_beam_search_device) scores word
+# completions at lexicon accept-node -> root transitions (the KenLM +
+# pyctcdecode semantics of reference transformers_infer.py:272-289) without
+# leaving the chip. A dense (W, W) bigram matrix is HBM-hostile at real
+# vocabulary sizes (12k words -> 576 MB f32), so n-grams live in open-
+# addressing hash tables: per slot a 32-bit fingerprint + f32 value,
+# probed linearly with a host-computed worst-case probe bound (load factor
+# <= 0.5 keeps it small). The same murmur3-style mix runs in numpy at build
+# time and in uint32 jax ops at lookup time. Fingerprints are 32-bit, so a
+# false hit needs a same-bucket 2^-32 collision — negligible at ARPA scale
+# and irrelevant to decode correctness at beam widths (documented trade).
+
+
+def _ngram_mix(ids, seed, xp):
+    """Murmur3-ish sequence hash over uint32 word ids; elementwise over
+    arbitrary-shaped arrays. xp = numpy or jax.numpy."""
+    u = lambda v: xp.uint32(v)
+    h = None
+    for x in ids:
+        x = xp.asarray(x).astype(xp.uint32) * u(0xCC9E2D51)
+        x = ((x << u(15)) | (x >> u(17))) * u(0x1B873593)
+        h = (seed if h is None else h) ^ x
+        h = ((h << u(13)) | (h >> u(19))) * u(5) + u(0xE6546B64)
+    h = h ^ (h >> u(16))
+    h = h * u(0x85EBCA6B)
+    h = h ^ (h >> u(13))
+    h = h * u(0xC2B2AE35)
+    return h ^ (h >> u(16))
+
+
+_H_SEED1, _H_SEED2 = 0x12345678, 0x87654321
+
+
+class HashedNgrams:
+    """Open-addressing n-gram table: fingerprint (uint32, 0 = empty) + f32
+    value per slot. Built on host; probed on device by ctc_beam."""
+
+    def __init__(self, items: dict):
+        import numpy as np
+
+        n = max(1, len(items))
+        self.size = 1 << max(3, (2 * n - 1).bit_length())  # load <= 0.5
+        self.fp = np.zeros(self.size, np.uint32)
+        self.val = np.zeros(self.size, np.float32)
+        self.max_probe = 1
+        mask = self.size - 1
+        with np.errstate(over="ignore"):  # uint32 wraparound is the hash
+            for key_ids, v in items.items():
+                ids = tuple(np.uint32(i) for i in key_ids)
+                h1 = int(_ngram_mix(ids, np.uint32(_H_SEED1), np))
+                h2 = int(_ngram_mix(ids, np.uint32(_H_SEED2), np)) or 1
+                j, p = h1 & mask, 1
+                while self.fp[j] not in (0, h2):
+                    j, p = (j + 1) & mask, p + 1
+                self.fp[j] = h2
+                self.val[j] = v
+                self.max_probe = max(self.max_probe, p)
+
+
+def word_lm_device_tables(lm: ArpaLM, words, max_order: int = 3):
+    """Export an ARPA WORD LM against a word-id space (the lexicon's sorted
+    word list) as device tables for on-device shallow fusion.
+
+    Returns a dict: order; dense unigram logp/backoff arrays indexed by
+    word id (rows W=<s> and W+1=<pad> appended — <pad> fills unused context
+    slots and matches nothing, which reproduces ArpaLM's shorter-context
+    startup scoring exactly); HashedNgrams for bigrams (+ bigram backoffs
+    and trigrams at order 3). Values are raw log10 (KenLM convention) —
+    the beam scales by alpha*ln10 and adds beta per word. Orders above 3
+    stay on the host beam (context state on device is order-1 word ids)."""
+    import numpy as np
+
+    order = min(lm.order, max_order)
+    words = list(words)
+    W = len(words)
+    wid = {w: i for i, w in enumerate(words)}
+    BOS, PAD = W, W + 1
+    unk = lm.table.get(("<unk>",))
+    unk_val = unk[0] if unk else -10.0
+    uni = np.full(W + 2, unk_val, np.float32)
+    uni_backoff = np.zeros(W + 2, np.float32)
+    for i, w in enumerate(words):
+        e = lm.table.get((w,))
+        if e:
+            uni[i], uni_backoff[i] = e
+    e = lm.table.get(("<s>",))
+    if e:
+        uni_backoff[BOS] = e[1]
+    uni[BOS] = uni[PAD] = -99.0  # never scored as words
+    out = {"order": order, "uni": uni, "uni_backoff": uni_backoff, "bos": BOS, "pad": PAD, "n_words": W}
+
+    def ids_of(ngram):
+        r = []
+        for w in ngram:
+            i = BOS if w == "<s>" else wid.get(w)
+            if i is None:
+                return None
+            r.append(i)
+        return tuple(r)
+
+    if order >= 2:
+        bi, bi_backoff, tri = {}, {}, {}
+        for ngram, (logp, backoff) in lm.table.items():
+            ids = ids_of(ngram)
+            if ids is None:
+                continue
+            if len(ngram) == 2:
+                bi[ids] = logp
+                if backoff:
+                    bi_backoff[ids] = backoff
+            elif len(ngram) == 3 and order >= 3:
+                tri[ids] = logp
+        out["bi"] = HashedNgrams(bi)
+        if order >= 3:
+            out["bi_backoff"] = HashedNgrams(bi_backoff)
+            out["tri"] = HashedNgrams(tri)
+    return out
+
+
 def train_ngram_lm(texts, order: int = 3, output_arpa: str = None, char_level: bool = False):
     """Train a simple interpolated Katz-style n-gram LM from corpus text and
     optionally write ARPA. Provides the 'build an LM for decoding'

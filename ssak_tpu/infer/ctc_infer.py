@@ -86,9 +86,16 @@ def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, 
     return texts
 
 
-def ctc_decode_beam_device(model, batch, beam_width: int = 16, lm_table=None, lm_alpha: float = 0.5, lexicon=None):
-    """On-device batched beam search (optionally char-LM fused and/or
-    lexicon-constrained via dense trie tables resident in HBM)."""
+def ctc_decode_beam_device(
+    model, batch, beam_width: int = 16, lm_table=None, lm_alpha: float = 0.5,
+    lexicon_tables=None, word_lm=None, lm_beta: float = 1.5,
+):
+    """On-device batched beam search: optionally char-LM fused, lexicon-
+    constrained (dense trie tables resident in HBM), and/or WORD-n-gram
+    fused at word boundaries (hashed ARPA tables; the KenLM+pyctcdecode
+    semantics of reference transformers_infer.py:272-289 without leaving
+    the chip). Pass prebuilt tables — build them once per model, not per
+    batch (see ctc_infer)."""
     from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
     from ssak_tpu.infer.general import compute_log_probas
 
@@ -98,12 +105,10 @@ def ctc_decode_beam_device(model, batch, beam_width: int = 16, lm_table=None, lm
     for i, a in enumerate(batch):
         x[i, : len(a)] = a
     lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens, np.int32))
-    lex_tables = None
-    if lexicon is not None:
-        lex_tables = lexicon.device_tables(model.vocab(), word_delimiter=model.tokenizer.word_delimiter)
     tokens, lengths = ctc_beam_search_device(
         lp, fl, beam_width=beam_width, blank_id=model.cfg.blank_id,
-        lm_table=lm_table, lm_alpha=lm_alpha, lexicon_tables=lex_tables)
+        lm_table=lm_table, lm_alpha=lm_alpha, lexicon_tables=lexicon_tables,
+        word_lm=word_lm, lm_beta=lm_beta)
     return [model.tokenizer.decode(tokens[b, : lengths[b]]) for b in range(len(batch))]
 
 
@@ -147,14 +152,32 @@ def ctc_infer(
         from ssak_tpu.decode.lexicon import Lexicon
 
         lexicon = Lexicon.from_file(lexicon_path)
+
+    # prebuild device tables ONCE per model: trie tables + (when the LM is
+    # order<=3 and a lexicon identifies word completions) hashed word-LM
+    # tables, so lm+lexicon+beam decoding runs fully on device
+    lex_tables = word_lm_tables = None
+    if lexicon is not None and beam_width > 1:
+        lex_tables = lexicon.device_tables(model.vocab(), word_delimiter=model.tokenizer.word_delimiter)
+        if lm is not None:
+            from ssak_tpu.decode.lm import ArpaLM, word_lm_device_tables
+
+            arpa = lm if isinstance(lm, ArpaLM) else ArpaLM(lm_path)
+            if arpa.order <= 3:  # device context carries order-1 word ids
+                word_lm_tables = word_lm_device_tables(arpa, lexicon.word_list())
+                lex_tables = (*lex_tables, lexicon.node_word_ids())
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
     for batch, ids in batches:
-        if lm is not None:
+        if word_lm_tables is not None:
+            texts = ctc_decode_beam_device(
+                model, batch, beam_width=beam_width, lexicon_tables=lex_tables,
+                word_lm=word_lm_tables, lm_alpha=lm_alpha, lm_beta=lm_beta)
+        elif lm is not None:
             texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25, lexicon=lexicon)
-        elif lexicon is not None and beam_width > 1:
+        elif lex_tables is not None:
             # lexicon without word-LM: the constraint runs fully on device
-            texts = ctc_decode_beam_device(model, batch, beam_width=beam_width, lexicon=lexicon)
+            texts = ctc_decode_beam_device(model, batch, beam_width=beam_width, lexicon_tables=lex_tables)
         elif lexicon is not None:
             texts = ctc_decode_with_lm(model, batch, None, beam_width=25, lexicon=lexicon)
         elif beam_width > 1:
