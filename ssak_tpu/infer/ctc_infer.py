@@ -63,10 +63,12 @@ def ctc_transcribe_batch(model, batch):
     return decode_log_probas(model, lp, fl)
 
 
-def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, beam_width: int = 25, lexicon=None):
+def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, beam_width: int = 25, lexicon=None, pool=None):
     """Beam-search decode with word n-gram LM shallow fusion (pyctcdecode-
     equivalent capability, reference transformers_decoder_with_lm:272) and/or
-    a word-lexicon constraint (the Vosk capability, ref kaldi_infer.py:119)."""
+    a word-lexicon constraint (the Vosk capability, ref kaldi_infer.py:119).
+    pool: optional decode.pool.HostBeamPool — fans the per-utterance Python
+    beams over worker processes (reference kaldi_infer.py:175)."""
     from ssak_tpu.decode.ctc_beam import ctc_prefix_beam_search
     from ssak_tpu.infer.general import compute_log_probas
 
@@ -78,6 +80,8 @@ def ctc_decode_with_lm(model, batch, lm, alpha: float = 0.5, beta: float = 1.5, 
     lp, fl = compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens, np.int32))
     lp = np.asarray(lp)
     fl = np.asarray(fl)
+    if pool is not None:
+        return pool.decode([lp[b, : fl[b]] for b in range(len(batch))])
     vocab = model.vocab()
     texts = []
     for b in range(len(batch)):
@@ -127,11 +131,14 @@ def ctc_infer(
     lexicon_path: str = None,
     tensor_parallel: int = 0,
     quantize_bits: int = 0,
+    num_workers: int = 0,
 ):
     """Generator over transcripts (optionally (id, text)) for any audio
     source accepted by to_audio_batches. lm_path: ARPA n-gram for
     shallow-fusion beam decoding; beam_width>0 without LM uses the
-    on-device batched beam."""
+    on-device batched beam; num_workers>1 fans HOST-beam word-LM decoding
+    over a process pool (only applies when the decode routes to the host
+    beam — order>3 LMs or no lexicon)."""
     from ssak_tpu.data.dataset import to_audio_batches
     from ssak_tpu.infer.general import load_model
     from ssak_tpu.utils.monitoring import ThroughputMeter, logger
@@ -166,27 +173,42 @@ def ctc_infer(
             if arpa.order <= 3:  # device context carries order-1 word ids
                 word_lm_tables = word_lm_device_tables(arpa, lexicon.word_list())
                 lex_tables = (*lex_tables, lexicon.node_word_ids())
+    # host-beam routes get a worker pool when asked (reference
+    # kaldi_infer.py:175 used multiprocessing for exactly this)
+    pool = None
+    host_beam_route = word_lm_tables is None and (lm is not None or (lexicon is not None and lex_tables is None))
+    if num_workers and num_workers > 1 and host_beam_route:
+        from ssak_tpu.decode.pool import HostBeamPool
+
+        pool = HostBeamPool(
+            num_workers, lm_path=lm_path, lexicon_path=lexicon_path, vocab=model.vocab(),
+            blank_id=model.cfg.blank_id, beam_width=beam_width or 25, alpha=lm_alpha, beta=lm_beta,
+        )
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
-    for batch, ids in batches:
-        if word_lm_tables is not None:
-            texts = ctc_decode_beam_device(
-                model, batch, beam_width=beam_width, lexicon_tables=lex_tables,
-                word_lm=word_lm_tables, lm_alpha=lm_alpha, lm_beta=lm_beta)
-        elif lm is not None:
-            texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25, lexicon=lexicon)
-        elif lex_tables is not None:
-            # lexicon without word-LM: the constraint runs fully on device
-            texts = ctc_decode_beam_device(model, batch, beam_width=beam_width, lexicon_tables=lex_tables)
-        elif lexicon is not None:
-            texts = ctc_decode_with_lm(model, batch, None, beam_width=25, lexicon=lexicon)
-        elif beam_width > 1:
-            texts = ctc_decode_beam_device(model, batch, beam_width=beam_width)
-        else:
-            texts = ctc_transcribe_batch(model, batch)
-        meter.update(sum(len(a) for a in batch) / model.sample_rate)
-        for i, t in zip(ids, texts):
-            yield (i, t) if output_ids else t
+    try:
+        for batch, ids in batches:
+            if word_lm_tables is not None:
+                texts = ctc_decode_beam_device(
+                    model, batch, beam_width=beam_width, lexicon_tables=lex_tables,
+                    word_lm=word_lm_tables, lm_alpha=lm_alpha, lm_beta=lm_beta)
+            elif lm is not None:
+                texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25, lexicon=lexicon, pool=pool)
+            elif lex_tables is not None:
+                # lexicon without word-LM: the constraint runs fully on device
+                texts = ctc_decode_beam_device(model, batch, beam_width=beam_width, lexicon_tables=lex_tables)
+            elif lexicon is not None:
+                texts = ctc_decode_with_lm(model, batch, None, beam_width=25, lexicon=lexicon, pool=pool)
+            elif beam_width > 1:
+                texts = ctc_decode_beam_device(model, batch, beam_width=beam_width)
+            else:
+                texts = ctc_transcribe_batch(model, batch)
+            meter.update(sum(len(a) for a in batch) / model.sample_rate)
+            for i, t in zip(ids, texts):
+                yield (i, t) if output_ids else t
+    finally:
+        if pool is not None:
+            pool.close()
     if log_memtime:
         logger.info(f"ctc_infer throughput: {meter.summary()}")
 
@@ -211,6 +233,8 @@ def cli(argv=None):
     parser.add_argument("--lm_alpha", type=float, default=0.5)
     parser.add_argument("--lm_beta", type=float, default=1.5)
     parser.add_argument("--beam_width", type=int, default=0, help=">1 enables on-device beam search")
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help=">1 fans host-beam word-LM decoding over a process pool (reference kaldi_infer used one)")
     parser.add_argument("--tensor_parallel", "--tp", type=int, default=0, dest="tensor_parallel",
                         help="shard model weights over N chips (megatron TP rules)")
     parser.add_argument("--load_in_8bit", action="store_true", help="int8 weight-only quantized decode")
@@ -224,7 +248,7 @@ def cli(argv=None):
             args.model, args.data, batch_size=args.batch_size, sort_by_len=args.sort_by_len,
             output_ids=args.use_ids, log_memtime=args.log_memtime,
             lm_path=args.lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta, beam_width=args.beam_width, lexicon_path=args.lexicon,
-            tensor_parallel=args.tensor_parallel,
+            num_workers=args.num_workers, tensor_parallel=args.tensor_parallel,
             quantize_bits=4 if args.load_in_4bit else (8 if args.load_in_8bit else 0),
             seeded_test_config=args.seeded_test_config,
         ):

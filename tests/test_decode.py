@@ -468,6 +468,40 @@ class TestDeviceWordLM:
         assert not bool(hit2.any())
 
 
+def test_host_beam_pool_parity(tmp_path):
+    """Process-pool host beam (reference kaldi_infer.py:175 capability)
+    must reproduce the in-process beam exactly (spawned workers, LM and
+    lexicon loaded from their files)."""
+    from ssak_tpu.decode.lexicon import Lexicon
+    from ssak_tpu.decode.lm import write_arpa
+    from ssak_tpu.decode.pool import HostBeamPool
+
+    rng = np.random.RandomState(5)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = sorted({
+        "".join(alphabet[i] for i in rng.randint(0, 26, rng.randint(2, 6)))
+        for _ in range(40)
+    })
+    sentences = [" ".join(rng.choice(words, size=3)) for _ in range(100)]
+    lm = train_ngram_lm(sentences, order=2)
+    arpa = tmp_path / "lm.arpa"
+    write_arpa(lm, str(arpa))
+    lexfile = tmp_path / "lexicon.txt"
+    lexfile.write_text("\n".join(words), encoding="utf-8")
+    lex = Lexicon(words)
+    vocab = ["<pad>", "|"] + list(alphabet)
+
+    lps = [_peaky_posteriors(rng, 40, len(vocab)) for _ in range(6)]
+    serial = [
+        ctc_prefix_beam_search(lp, vocab, beam_width=8, lm=lm, alpha=0.5, beta=1.5, lexicon=lex)[0][0]
+        for lp in lps
+    ]
+    with HostBeamPool(2, lm_path=str(arpa), lexicon_path=str(lexfile), vocab=vocab,
+                      beam_width=8, alpha=0.5, beta=1.5) as pool:
+        parallel = pool.decode(lps)
+    assert parallel == serial
+
+
 @pytest.mark.slow
 def test_device_lexicon_scale():
     """Realistic-lexicon scale: ~10k synthetic French-like words -> dense
