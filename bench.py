@@ -1,6 +1,8 @@
-"""Benchmarks: CTC train (headline), Whisper large-v3 LoRA train, Whisper
-large-v3 batched greedy decode, CTC beam decode — each reported with achieved
-model TFLOP/s and MFU (ssak_tpu.utils.flops analytic accounting vs chip peak).
+"""Benchmarks: CTC train (headline, base + large dims), Whisper large-v3
+LoRA train, Whisper large-v3 batched greedy decode (bf16 AND int8 weights +
+int8 KV), CTC beam decode (plain, lexicon-constrained, word-LM fused) —
+each reported with achieved model TFLOP/s and MFU where FLOPs are the
+dominant term (ssak_tpu.utils.flops analytic accounting vs chip peak).
 
 Prints one JSON line per metric; the HEADLINE line (CTC train) is printed
 LAST:
@@ -69,7 +71,7 @@ def _line(metric, value, unit, model_flops_per_s=None, vs_baseline=None):
     return rec
 
 
-def bench_ctc_train():
+def bench_ctc_train(preset: str = "base", batch: int = None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -79,7 +81,8 @@ def bench_ctc_train():
     from ssak_tpu.train.steps import init_train_state, make_optimizer
     from ssak_tpu.utils.flops import wav2vec2_train_flops_per_audio_second
 
-    cfg = wav2vec2.make_config("base", vocab_size=48)
+    B = batch or BATCH
+    cfg = wav2vec2.make_config(preset, vocab_size=48)
     params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(total_steps=1000)
     state = init_train_state(params, opt)
@@ -87,10 +90,10 @@ def bench_ctc_train():
     rng = np.random.RandomState(0)
     T = SECONDS * SR
     batch = {
-        "audio": jnp.asarray(rng.randn(BATCH, T).astype(np.float32) * 0.1),
-        "audio_lengths": jnp.full((BATCH,), T, jnp.int32),
-        "labels": jnp.asarray(rng.randint(1, 48, (BATCH, LABEL_LEN)), jnp.int32),
-        "label_lengths": jnp.full((BATCH,), LABEL_LEN, jnp.int32),
+        "audio": jnp.asarray(rng.randn(B, T).astype(np.float32) * 0.1),
+        "audio_lengths": jnp.full((B,), T, jnp.int32),
+        "labels": jnp.asarray(rng.randint(1, 48, (B, LABEL_LEN)), jnp.int32),
+        "label_lengths": jnp.full((B,), LABEL_LEN, jnp.int32),
     }
 
     def loss_fn(p, batch):
@@ -117,16 +120,16 @@ def bench_ctc_train():
     state, loss = train_n(state, batch)  # compile + warmup
     loss0 = float(loss)
     assert np.isfinite(loss0) and loss0 > 0, f"degenerate warmup loss: {loss0}"
-    log(f"ctc train warmup: loss={loss0:.4f}")
+    log(f"ctc train[{preset}] warmup: loss={loss0:.4f}")
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         state, loss = train_n(state, batch)
         lv = float(loss)  # value fetch = true synchronization
     dt = time.perf_counter() - t0
     steps = N_INNER * TIMED_CALLS
-    log(f"ctc train: {steps} steps in {dt:.2f}s ({dt/steps*1000:.1f} ms/step), final loss={lv:.3f}")
+    log(f"ctc train[{preset}]: {steps} steps in {dt:.2f}s ({dt/steps*1000:.1f} ms/step), final loss={lv:.3f}")
     assert np.isfinite(lv)
-    audio_s_per_s = BATCH * SECONDS * steps / dt
+    audio_s_per_s = B * SECONDS * steps / dt
     flops_per_s = audio_s_per_s * wav2vec2_train_flops_per_audio_second(cfg)
     return audio_s_per_s, flops_per_s
 
@@ -179,17 +182,30 @@ def bench_whisper_lora_train():
     return audio_s_per_s, flops * calls / dt
 
 
-def bench_whisper_decode():
-    """Whisper large-v3 batched greedy decode, 30 s windows."""
+def bench_whisper_decode(int8: bool = False):
+    """Whisper large-v3 batched greedy decode, 30 s windows.
+
+    int8=True: weight-only int8 kernels through the fused dequant-matmul
+    Pallas kernel (ops/int8_matmul — streams 1 byte/param from HBM inside
+    the token scan) + int8 cross-attention K/V and int8 self-cache
+    (cfg.kv_int8, layers.decode_attention_int8) — the --load_in_8bit
+    decode path (reference whisper_train.py:374 bitsandbytes capability).
+    Decode is HBM-bandwidth-bound (PERF.md), so halved weight+KV bytes is
+    the lever."""
     import jax
     import jax.numpy as jnp
 
     from ssak_tpu.models import whisper
     from ssak_tpu.utils.flops import whisper_decode_flops_per_window
 
-    cfg = whisper.make_config("large-v3")
+    cfg = whisper.make_config("large-v3", kv_int8=int8)
     params = whisper.init_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if int8:
+        from ssak_tpu.models.quant import quantize_params
+
+        params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=8))
+    else:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     rng = np.random.RandomState(0)
     n_frames = cfg.n_audio_ctx * 2
     window_s = n_frames * 160 / SR
@@ -205,14 +221,40 @@ def bench_whisper_decode():
         toks, lens = fn(params, mel)
     _ = int(np.asarray(lens).sum())  # sync
     dt = time.perf_counter() - t0
-    log(f"whisper decode: {dt/calls*1000:.0f} ms/batch of {W_DEC_BATCH}x{window_s:.0f}s")
+    tag = "int8" if int8 else "bf16"
+    log(f"whisper decode[{tag}]: {dt/calls*1000:.0f} ms/batch of {W_DEC_BATCH}x{window_s:.0f}s")
     audio_s_per_s = W_DEC_BATCH * window_s * calls / dt
     flops = W_DEC_BATCH * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
     return audio_s_per_s, flops * calls / dt
 
 
-def bench_ctc_beam_decode():
-    """wav2vec2-base forward + on-device CTC beam search (beam 16)."""
+def _synthetic_lexicon_lm(n_words=12000, order=3):
+    """Realistic-scale decode tables: ~12k-word lexicon (Vosk-model order)
+    + an order-3 word LM over it, built once at bench time."""
+    from ssak_tpu.decode.lexicon import Lexicon
+    from ssak_tpu.decode.lm import train_ngram_lm, word_lm_device_tables
+
+    rng = np.random.RandomState(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = sorted({
+        "".join(alphabet[i] for i in rng.randint(0, 26, rng.randint(3, 11)))
+        for _ in range(n_words)
+    })
+    lex = Lexicon(words)
+    vocab = ["<pad>"] + list(alphabet) + [str(d) for d in range(10)] + ["|", "'", "-", "!", "?", "@", "#", "$", "%", "&", "*"]
+    assert len(vocab) == 48
+    sents = [" ".join(rng.choice(words, size=8)) for _ in range(2000)]
+    lm = train_ngram_lm(sents, order=order)
+    trans, accept = lex.device_tables(vocab, word_delimiter="|")
+    tables = (trans, accept, lex.node_word_ids())
+    wlm = word_lm_device_tables(lm, lex.word_list())
+    return tables, wlm
+
+
+def bench_ctc_beam_decode(mode: str = "plain"):
+    """wav2vec2-base forward + on-device CTC beam search (beam 16).
+    mode: plain | lexicon (trie-constrained) | wordlm (lexicon + on-device
+    word n-gram fusion — the configuration word-LM users actually run)."""
     import jax
     import jax.numpy as jnp
 
@@ -227,20 +269,27 @@ def bench_ctc_beam_decode():
     audio = jnp.asarray(rng.randn(BATCH, T).astype(np.float32) * 0.1)
     lens = jnp.full((BATCH,), T, jnp.int32)
 
+    kw = {}
+    if mode in ("lexicon", "wordlm"):
+        tables, wlm = _synthetic_lexicon_lm()
+        kw["lexicon_tables"] = tables
+        if mode == "wordlm":
+            kw["word_lm"] = wlm
+
     @jax.jit
     def logits_fn(params, audio, lens):
         return wav2vec2.ctc_log_probs(params, audio, cfg, lens)
 
     lp, fl = logits_fn(params, audio, lens)
-    ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id)  # warm
+    ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)  # warm
     calls = 3
     t0 = time.perf_counter()
     for _ in range(calls):
         lp, fl = logits_fn(params, audio, lens)
-        toks, tl = ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id)
+        toks, tl = ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)
     _ = int(np.asarray(tl).sum())  # sync
     dt = time.perf_counter() - t0
-    log(f"ctc beam16 decode: {dt/calls*1000:.0f} ms/batch")
+    log(f"ctc beam16 decode[{mode}]: {dt/calls*1000:.0f} ms/batch")
     audio_s_per_s = BATCH * SECONDS * calls / dt
     return audio_s_per_s, audio_s_per_s * ctc_decode_flops_per_audio_second(cfg)
 
@@ -290,7 +339,11 @@ def main():
     for name, fn, metric in (
         ("whisper_lora_train", bench_whisper_lora_train, "whisper_large3_lora_train_audio_s_per_s"),
         ("whisper_decode", bench_whisper_decode, "whisper_large3_greedy_decode_audio_s_per_s"),
+        ("whisper_int8_decode", partial(bench_whisper_decode, int8=True), "whisper_large3_int8_decode_audio_s_per_s"),
         ("ctc_beam_decode", bench_ctc_beam_decode, "ctc_beam16_decode_audio_s_per_s"),
+        ("ctc_beam_lexicon", partial(bench_ctc_beam_decode, mode="lexicon"), "ctc_beam16_lexicon_decode_audio_s_per_s"),
+        ("ctc_beam_wordlm", partial(bench_ctc_beam_decode, mode="wordlm"), "ctc_beam16_wordlm_decode_audio_s_per_s"),
+        ("ctc_train_large", partial(bench_ctc_train, preset="large", batch=16), "ctc_train_large_audio_s_per_s"),
     ):
         try:
             value, flops_per_s = fn()

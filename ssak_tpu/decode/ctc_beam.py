@@ -190,7 +190,7 @@ def _word_lm_score(wlm, ctx, w, scale, order, probes):
     return jnp.where(hit3, v3, bo2 + s2)
 
 
-def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, word_cfg=None):
+def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, word_cfg=None, unroll=4):
     """Build + cache the jitted scan for one (T, V, K, LM, lexicon, word-LM)
     signature.
 
@@ -360,8 +360,11 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, wo
         else:
             wctx0 = jnp.zeros((B, K, 1), jnp.int32)
 
+        # unroll: the per-frame tensors are tiny (B*K*V ~ 25k elements), so
+        # each scan iteration is dispatch/latency-bound, not FLOP-bound;
+        # unrolling fuses several frames' op-chains into one XLA computation
         (hashes, last, p_b, p_nb, _ctx, node, wctx), (srcs, toks) = jax.lax.scan(
-            step, (hashes0, last0, p_b0, p_nb0, ctx0, node0, wctx0), jnp.arange(T)
+            step, (hashes0, last0, p_b0, p_nb0, ctx0, node0, wctx0), jnp.arange(T), unroll=unroll
         )
         final = jnp.logaddexp(p_b, p_nb)
         if use_lexicon:
@@ -418,6 +421,7 @@ def ctc_beam_search_device(
     lexicon_tables=None,
     word_lm=None,
     lm_beta: float = 1.5,
+    unroll: int = 4,
 ):
     """Batched beam search on device.
 
@@ -451,9 +455,9 @@ def ctc_beam_search_device(
     else:
         word_cfg = None
     key = (T, V, K, blank_id, order, use_lm, use_lexicon,
-           tuple(sorted(word_cfg.items())) if word_cfg else None)
+           tuple(sorted(word_cfg.items())) if word_cfg else None, unroll)
     if key not in _DEVICE_BEAM_CACHE:
-        _DEVICE_BEAM_CACHE[key] = _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon, word_cfg)
+        _DEVICE_BEAM_CACHE[key] = _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon, word_cfg, unroll)
     prog = _DEVICE_BEAM_CACHE[key]
     aux = {}
     if use_lm:

@@ -82,6 +82,15 @@ def load_model(model_dir: str, seeded_test_config: str = None, quantize_bits: in
         model.params = jax.tree_util.tree_map(
             _jnp.asarray, quantize_params(model.params, bits=quantize_bits)
         )
+        if quantize_bits == 8 and model.type == ModelType.WHISPER:
+            # int8 KV caches ride along with int8 weights: autoregressive
+            # decode re-reads the full cross-attention K/V every token step
+            # (the dominant HBM term at large-v3 — PERF.md), so the
+            # --load_in_8bit capability halves those bytes too
+            # (layers.decode_attention_int8 / self_attention_int8)
+            import dataclasses
+
+            model.cfg = dataclasses.replace(model.cfg, kv_int8=True)
     return model
 
 
