@@ -251,10 +251,22 @@ def _synthetic_lexicon_lm(n_words=12000, order=3):
     return tables, wlm
 
 
+# decode-only batch: inference has no optimizer-state HBM pressure, so the
+# batch is a free throughput lever — 96 x 10 s fits comfortably and
+# amortizes the beam scan's per-frame fixed costs 3x better than the train
+# batch of 32 (measured: 777 -> 1646 audio-s/s synchronous)
+DEC_BATCH = 96
+
+
 def bench_ctc_beam_decode(mode: str = "plain"):
     """wav2vec2-base forward + on-device CTC beam search (beam 16).
     mode: plain | lexicon (trie-constrained) | wordlm (lexicon + on-device
-    word n-gram fusion — the configuration word-LM users actually run)."""
+    word n-gram fusion — the configuration word-LM users actually run).
+
+    PIPELINED like production decoding: all batches' encoder+beam programs
+    are enqueued before any host fetch (return_async), so the device never
+    drains on the host round trip; .result() then fetches + backtraces
+    every batch (a true synchronization)."""
     import jax
     import jax.numpy as jnp
 
@@ -266,8 +278,8 @@ def bench_ctc_beam_decode(mode: str = "plain"):
     params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     T = SECONDS * SR
-    audio = jnp.asarray(rng.randn(BATCH, T).astype(np.float32) * 0.1)
-    lens = jnp.full((BATCH,), T, jnp.int32)
+    audio = jnp.asarray(rng.randn(DEC_BATCH, T).astype(np.float32) * 0.1)
+    lens = jnp.full((DEC_BATCH,), T, jnp.int32)
 
     kw = {}
     if mode in ("lexicon", "wordlm"):
@@ -282,15 +294,17 @@ def bench_ctc_beam_decode(mode: str = "plain"):
 
     lp, fl = logits_fn(params, audio, lens)
     ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)  # warm
-    calls = 3
+    calls = 4
     t0 = time.perf_counter()
+    handles = []
     for _ in range(calls):
         lp, fl = logits_fn(params, audio, lens)
-        toks, tl = ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)
-    _ = int(np.asarray(tl).sum())  # sync
+        handles.append(ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, return_async=True, **kw))
+    done = [h.result() for h in handles]  # fetch + backtrace = full sync
     dt = time.perf_counter() - t0
-    log(f"ctc beam16 decode[{mode}]: {dt/calls*1000:.0f} ms/batch")
-    audio_s_per_s = BATCH * SECONDS * calls / dt
+    assert all(int(tl.sum()) >= 0 for _t, tl in done)
+    log(f"ctc beam16 decode[{mode}]: {dt/calls*1000:.0f} ms/batch of {DEC_BATCH}x{SECONDS}s")
+    audio_s_per_s = DEC_BATCH * SECONDS * calls / dt
     return audio_s_per_s, audio_s_per_s * ctc_decode_flops_per_audio_second(cfg)
 
 

@@ -422,6 +422,7 @@ def ctc_beam_search_device(
     word_lm=None,
     lm_beta: float = 1.5,
     unroll: int = 4,
+    return_async: bool = False,
 ):
     """Batched beam search on device.
 
@@ -439,6 +440,12 @@ def ctc_beam_search_device(
 
     Returns (tokens (B, T) int32 padded -1, lengths (B,)) for the best beam,
     reconstructed on host from streamed backpointers.
+
+    return_async=True returns a handle whose .result() does the host
+    fetch+backtrace: callers can enqueue the NEXT batch's encoder+beam
+    before resolving this one, so the device pipeline never drains on the
+    host round trip (the round trip dominates small-batch decode on a
+    remote-runtime chip).
     """
     import jax.numpy as jnp
 
@@ -468,7 +475,20 @@ def ctc_beam_search_device(
     if word_lm is not None:
         aux.update(_prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta))
     best, srcs, toks = prog(log_probs, frame_lengths, aux)
-    return _backtrace(np.asarray(best), np.asarray(srcs), np.asarray(toks), np.asarray(frame_lengths))
+    handle = _AsyncBeamResult(best, srcs, toks, frame_lengths)
+    return handle if return_async else handle.result()
+
+
+class _AsyncBeamResult:
+    """Deferred beam result: holds device arrays; .result() fetches and
+    backtraces. Lets decode of batch n+1 overlap the host work of batch n."""
+
+    def __init__(self, best, srcs, toks, frame_lengths):
+        self._args = (best, srcs, toks, frame_lengths)
+
+    def result(self):
+        best, srcs, toks, frame_lengths = self._args
+        return _backtrace(np.asarray(best), np.asarray(srcs), np.asarray(toks), np.asarray(frame_lengths))
 
 
 def _backtrace(best, srcs, toks, lengths):
