@@ -326,9 +326,11 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, wo
 
             if word_order:
                 old_wctx = jnp.take_along_axis(wctx, src_beam[..., None], axis=1)
-                comp_src = jnp.take_along_axis(completing, src_beam[..., None], axis=1)  # (B, K, V)
-                comp_sel = jnp.take_along_axis(comp_src, jnp.clip(tok, 0, V - 1)[..., None], axis=2)[..., 0]
-                comp_sel = comp_sel & ~is_stay
+                # chosen extension completes a word iff it lands on the root
+                # from an accepting source node — recoverable from already-
+                # gathered state, no (B, K, V) completion-matrix reorder
+                accept_src = jnp.take_along_axis(accept_node, src_beam, axis=1)
+                comp_sel = (new_node == 0) & accept_src & ~is_stay
                 w_src = jnp.take_along_axis(jnp.clip(wid, 0, wlm["uni"].shape[0] - 1), src_beam, axis=1)
                 shifted_w = jnp.concatenate([old_wctx[..., 1:], w_src[..., None]], axis=-1)
                 new_wctx = jnp.where(comp_sel[..., None], shifted_w, old_wctx)

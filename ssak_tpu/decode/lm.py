@@ -168,7 +168,10 @@ class HashedNgrams:
         import numpy as np
 
         n = max(1, len(items))
-        self.size = 1 << max(3, (2 * n - 1).bit_length())  # load <= 0.5
+        # load <= 0.25: the probe bound is UNROLLED inside the beam scan
+        # (decode/ctc_beam._hashed_lookup), so trading 2x table bytes
+        # (trivial — these are MBs) for ~half the probes buys scan latency
+        self.size = 1 << max(3, (4 * n - 1).bit_length())
         self.fp = np.zeros(self.size, np.uint32)
         self.val = np.zeros(self.size, np.float32)
         self.max_probe = 1
