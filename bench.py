@@ -190,8 +190,10 @@ def bench_whisper_decode(int8: bool = False):
     the token scan) + int8 cross-attention K/V and int8 self-cache
     (cfg.kv_int8, layers.decode_attention_int8) — the --load_in_8bit
     decode path (reference whisper_train.py:374 bitsandbytes capability).
-    Decode is HBM-bandwidth-bound (PERF.md), so halved weight+KV bytes is
-    the lever."""
+    Measured (PERF.md "int8 decode"): at matched batch the decode is
+    per-step-latency-bound so int8 bytes are roughly neutral; int8's real
+    win is MEMORY — the halved weights+KV fit TWICE the batch (48 vs 24),
+    which is what this line runs."""
     import jax
     import jax.numpy as jnp
 
@@ -200,16 +202,18 @@ def bench_whisper_decode(int8: bool = False):
 
     cfg = whisper.make_config("large-v3", kv_int8=int8)
     params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    B = W_DEC_BATCH
     if int8:
         from ssak_tpu.models.quant import quantize_params
 
         params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=8))
+        B = 2 * W_DEC_BATCH  # halved weight+KV HBM -> twice the windows
     else:
         params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     rng = np.random.RandomState(0)
     n_frames = cfg.n_audio_ctx * 2
     window_s = n_frames * 160 / SR
-    mel = jnp.asarray(rng.randn(W_DEC_BATCH, cfg.n_mels, n_frames).astype(np.float32) * 0.1)
+    mel = jnp.asarray(rng.randn(B, cfg.n_mels, n_frames).astype(np.float32) * 0.1)
     prompt = [cfg.sot, cfg.no_timestamps]
 
     fn = jax.jit(lambda p, m: whisper.greedy_decode(p, m, cfg, prompt, max_tokens=W_DEC_TOKENS))
@@ -222,9 +226,9 @@ def bench_whisper_decode(int8: bool = False):
     _ = int(np.asarray(lens).sum())  # sync
     dt = time.perf_counter() - t0
     tag = "int8" if int8 else "bf16"
-    log(f"whisper decode[{tag}]: {dt/calls*1000:.0f} ms/batch of {W_DEC_BATCH}x{window_s:.0f}s")
-    audio_s_per_s = W_DEC_BATCH * window_s * calls / dt
-    flops = W_DEC_BATCH * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
+    log(f"whisper decode[{tag}]: {dt/calls*1000:.0f} ms/batch of {B}x{window_s:.0f}s")
+    audio_s_per_s = B * window_s * calls / dt
+    flops = B * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
     return audio_s_per_s, flops * calls / dt
 
 
