@@ -158,53 +158,31 @@ def to_decode_kv(x, n_heads: int):
 
 
 def quantize_decode_kv(kT, vT):
-    """Decode-layout K/V (B, H, Dh, T) -> int8 dict for
-    decode_attention_int8.
+    """Decode-layout K/V (B, H, Dh, T) -> int8 dict with PER-POSITION
+    scales — the ONE int8 KV format (same as the self-attention decode
+    cache, update_int8_cache), so cross and self int8 attention share one
+    algebra and one fused kernel (ops/flash_decode).
 
     Autoregressive decode re-reads the ENTIRE cross-attention K/V every
     token step (large-v3 at B=24: 5.9 GB/step — the dominant HBM term,
     bigger than the 1.6 GB weight read; PERF.md). Storing it int8 halves
-    that. Scales: K per-head (folds into the scalar logit multiplier),
-    V per-channel over Dh (factors out of the probs@V contraction since
-    the sum runs over T)."""
-    ks = jnp.max(jnp.abs(kT), axis=(2, 3), keepdims=True).astype(jnp.float32) / 127.0  # (B,H,1,1)
-    ks = jnp.maximum(ks, 1e-8)
-    k8 = jnp.clip(jnp.rint(kT.astype(jnp.float32) / ks), -127, 127).astype(jnp.int8)
-    vs = jnp.max(jnp.abs(vT), axis=3, keepdims=True).astype(jnp.float32) / 127.0  # (B,H,Dh,1)
-    vs = jnp.maximum(vs, 1e-8)
-    v8 = jnp.clip(jnp.rint(vT.astype(jnp.float32) / vs), -127, 127).astype(jnp.int8)
+    that. Per-position (b, h, t) scales fold exactly: ks_t into logits,
+    vs_t into the probs before the PV contraction (which sums over t)."""
+    def quant(x):
+        s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True), 1e-8) / 127.0
+        x8 = jnp.clip(jnp.rint(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+        return x8, s  # s: (B, H, 1, T)
+
+    k8, ks = quant(kT)
+    v8, vs = quant(vT)
     return {"k8": k8, "ks": ks, "v8": v8, "vs": vs}
 
 
 def decode_attention_int8(q, kv8, mask=None, dtype=jnp.bfloat16, scale=None):
-    """decode_attention against an int8-quantized K/V (quantize_decode_kv).
-
-    Both contractions run as NATIVE int8 x int8 -> int32 MXU dots (2.4x
-    the bf16 rate at large-v3 cross-attention shapes on v5e — the op is
-    HBM-bound and the bytes halve). q and the softmax probs are quantized
-    dynamically per step per (batch, head), so XLA cannot hoist any
-    dequantized copy out of the token scan (the failure mode that kills
-    the naive `int8.astype(bf16)` formulation — see ops/int8_matmul.py).
-    All scale algebra is exact: per-head K scale and per-step q scale fold
-    into the scalar logit multiplier; per-channel V scale factors out of
-    the probs@V sum (which contracts T, not Dh)."""
-    Dh = q.shape[-1]
-    scale = scale if scale is not None else Dh ** -0.5
-    qf = q.astype(jnp.float32)
-    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0  # (B,Tq,H,1)
-    q8 = jnp.clip(jnp.rint(qf / qs), -127, 127).astype(jnp.int8)
-    dots = jnp.einsum("bqhd,bhdt->bhqt", q8, kv8["k8"], preferred_element_type=jnp.int32)
-    # logits = attn_scale * qs * ks * (q8 . k8)
-    mult = (scale * qs.transpose(0, 2, 1, 3)) * kv8["ks"]  # (B,H,Tq,1)
-    logits = dots.astype(jnp.float32) * mult
-    if mask is not None:
-        logits = jnp.where(mask, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    ps = jnp.maximum(jnp.max(probs, axis=-1, keepdims=True), 1e-8) / 127.0  # (B,H,Tq,1)
-    p8 = jnp.clip(jnp.rint(probs / ps), 0, 127).astype(jnp.int8)
-    acc = jnp.einsum("bhqt,bhdt->bqhd", p8, kv8["v8"], preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * ps.transpose(0, 2, 1, 3) * kv8["vs"][:, :, :, 0][:, None]
-    return out.astype(dtype)
+    """decode_attention against int8 K/V with per-position scales
+    (quantize_decode_kv / init_int8_cache format). Identical math to
+    self_attention_int8 — kept as the named cross-attention entry."""
+    return self_attention_int8(q, kv8, mask=mask, dtype=dtype, scale=scale)
 
 
 def init_int8_cache(batch: int, n_heads: int, head_dim: int, length: int):
@@ -264,6 +242,39 @@ def self_attention_int8(q, cache, mask=None, dtype=jnp.bfloat16, scale=None):
     return out.astype(dtype)
 
 
+def decode_attention_bounded(q, kv, lo, hi, dtype=jnp.bfloat16, scale=None, interpret=False):
+    """Single-query decode attention with an index-range mask, routed to
+    the fused flash-decode Pallas kernel on TPU (ops/flash_decode: one
+    kernel per (b, h) site instead of ~8 small ops — the decode loop is
+    per-op-latency-bound, PERF.md) and to the XLA mask paths elsewhere.
+
+    q: (B, 1, H, Dh). kv: {"k","v"} bf16 decode layout OR the int8 dict
+    ({"k8","ks","v8","vs"}, per-position scales). lo/hi: (B,) int32
+    INCLUSIVE valid key positions — every decode mask is a range (t<=pos;
+    pad_len<=t<=slot; full cross window), never an arbitrary tensor.
+    Returns (B, 1, H, Dh)."""
+    from ssak_tpu.ops.flash_decode import flash_decode_attention, flash_decode_supported
+
+    B, Tq, H, Dh = q.shape
+    scale = scale if scale is not None else Dh ** -0.5
+    is_int8 = "k8" in kv
+    T = (kv["k8"] if is_int8 else kv["k"]).shape[-1]
+    lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,))
+    hi = jnp.broadcast_to(jnp.asarray(hi, jnp.int32), (B,))
+    if Tq == 1 and not interpret and flash_decode_supported(Dh, T):
+        qs = q[:, 0].astype(jnp.bfloat16) * jnp.bfloat16(scale)  # (B, H, Dh)
+        if is_int8:
+            o = flash_decode_attention(qs, kv["k8"], kv["v8"], lo, hi, kv["ks"], kv["vs"])
+        else:
+            o = flash_decode_attention(qs, kv["k"], kv["v"], lo, hi)
+        return o[:, None].astype(dtype)
+    t = jnp.arange(T)
+    mask = ((t[None, :] >= lo[:, None]) & (t[None, :] <= hi[:, None]))[:, None, None, :]
+    if is_int8:
+        return self_attention_int8(q, kv, mask=mask, dtype=dtype, scale=scale)
+    return decode_attention(q, kv["k"], kv["v"], mask=mask, dtype=dtype, scale=scale)
+
+
 def flash_self_attention(q, k, v, lengths=None, scale=None):
     """Fused TPU self-attention (Pallas flash kernel, custom VJP): never
     materializes the (B, H, T, T) logits/probs in HBM — the dominant
@@ -321,6 +332,7 @@ def mha(
     cache_index=None,
     dtype=jnp.bfloat16,
     lengths=None,
+    attn_bounds=None,
 ):
     """Multi-head attention with optional cross-attention inputs and KV cache.
 
@@ -328,7 +340,10 @@ def mha(
     cache: optional dict {k: (B, H, Dh, L), v: ...} in the decode-cache
     layout (see decode_attention for why); when given with cache_index,
     new k/v are written at that time position and attention runs over the
-    full cache (decode step). Returns (y, new_cache).
+    full cache (decode step). attn_bounds=(lo, hi) ((B,) inclusive index
+    range, instead of mask) routes the decode step through the fused
+    flash-decode kernel on TPU (decode_attention_bounded).
+    Returns (y, new_cache).
     """
     src = x if kv_x is None else kv_x
     q = split_heads(dense(x, params["query"], dtype), n_heads)
@@ -345,17 +360,23 @@ def mha(
             # cache wholesale when cache_index is None
             assert cache_index is not None, "int8 KV cache requires cache_index (decode-step use only)"
             new_cache = update_int8_cache(cache, kT, vT, cache_index)
-            if mask is None and lengths is not None:
-                mask = (jnp.arange(new_cache["k8"].shape[-1])[None, :] < lengths[:, None])[:, None, None, :]
-            y = self_attention_int8(q, new_cache, mask=mask, dtype=dtype)
+            if attn_bounds is not None:
+                y = decode_attention_bounded(q, new_cache, attn_bounds[0], attn_bounds[1], dtype=dtype)
+            else:
+                if mask is None and lengths is not None:
+                    mask = (jnp.arange(new_cache["k8"].shape[-1])[None, :] < lengths[:, None])[:, None, None, :]
+                y = self_attention_int8(q, new_cache, mask=mask, dtype=dtype)
             return dense(merge_heads(y), params["out"], dtype), new_cache
         if cache_index is not None:
             kT = jax.lax.dynamic_update_slice(cache["k"], kT.astype(cache["k"].dtype), (0, 0, 0, cache_index))
             vT = jax.lax.dynamic_update_slice(cache["v"], vT.astype(cache["v"].dtype), (0, 0, 0, cache_index))
         new_cache = {"k": kT, "v": vT}
-        if mask is None and lengths is not None:
-            mask = (jnp.arange(kT.shape[-1])[None, :] < lengths[:, None])[:, None, None, :]
-        y = decode_attention(q, kT, vT, mask=mask, dtype=dtype)
+        if attn_bounds is not None:
+            y = decode_attention_bounded(q, new_cache, attn_bounds[0], attn_bounds[1], dtype=dtype)
+        else:
+            if mask is None and lengths is not None:
+                mask = (jnp.arange(kT.shape[-1])[None, :] < lengths[:, None])[:, None, None, :]
+            y = decode_attention(q, kT, vT, mask=mask, dtype=dtype)
         return dense(merge_heads(y), params["out"], dtype), new_cache
     k = split_heads(km, n_heads)
     v = split_heads(vm, n_heads)

@@ -191,9 +191,11 @@ def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
 
 
 def _cross_attention(q, cross_kv, dt):
-    if "k8" in cross_kv:
-        return L.decode_attention_int8(q, cross_kv, dtype=dt)
-    return L.decode_attention(q, cross_kv["k"], cross_kv["v"], dtype=dt)
+    """Full-window cross attention as a bounded decode step (lo=0,
+    hi=T-1): on TPU this is ONE fused flash-decode kernel per (b, h)
+    streaming the (possibly int8) K/V — see layers.decode_attention_bounded."""
+    T = (cross_kv["k8"] if "k8" in cross_kv else cross_kv["k"]).shape[-1]
+    return L.decode_attention_bounded(q, cross_kv, 0, T - 1, dtype=dt)
 
 
 def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
@@ -203,12 +205,10 @@ def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
     dec = params["decoder"]
     x = dec["token_embedding"][token] + jax.lax.dynamic_slice_in_dim(dec["positional_embedding"], pos, 1, axis=0)
     new_caches = []
-    Tk = cfg.n_text_ctx
-    kmask = (jnp.arange(Tk)[None, None, None, :] <= pos)
     for blk, cache, cross_kv in zip(dec["blocks"], caches, cross_kvs):
         h, self_c = L.mha(
             L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
-            mask=kmask, cache=cache, cache_index=pos, dtype=dt,
+            attn_bounds=(0, pos), cache=cache, cache_index=pos, dtype=dt,
         )
         x = x + h
         # cross-attention with precomputed decode-layout K/V
@@ -446,14 +446,11 @@ def _decode_step_padded(params, token, pos_idx, slot, pad_len, caches, cross_kvs
     dec = params["decoder"]
     pos_emb = dec["positional_embedding"][jnp.clip(pos_idx, 0, cfg.n_text_ctx - 1)][:, None, :]
     x = dec["token_embedding"][token] + pos_emb
-    Tk = cfg.n_text_ctx
-    t = jnp.arange(Tk)
-    kmask = (t[None, None, None, :] <= slot) & (t[None, None, None, :] >= pad_len[:, None, None, None])
     new_caches = []
     for blk, cache, cross_kv in zip(dec["blocks"], caches, cross_kvs):
         h, self_c = L.mha(
             L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
-            mask=kmask, cache=cache, cache_index=slot, dtype=dt,
+            attn_bounds=(pad_len, slot), cache=cache, cache_index=slot, dtype=dt,
         )
         x = x + h
         xq = L.layer_norm(x, blk["cross_attn_ln"])

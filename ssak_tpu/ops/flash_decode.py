@@ -1,0 +1,120 @@
+"""Fused single-query decode attention (flash-decode) Pallas kernel.
+
+Why: each autoregressive Whisper token step runs 64 attention sites
+(32 self + 32 cross) and the XLA formulation of each is ~8 small ops
+(two dots, mask, 4-op softmax, scale) over (B, H, 1, T) tensors — the
+decode loop is per-op-latency-bound, not FLOP-bound (PERF.md "int8
+decode, measured"). This kernel fuses one whole attention site into ONE
+Pallas program per (batch, head): stream K/V once HBM->VMEM, dot, mask,
+softmax, dot, normalize — no (B, H, 1, T) intermediates ever touch HBM.
+
+int8 K/V (the --load_in_8bit cache, layers.quantize_decode_kv /
+update_int8_cache) is streamed as int8 — 1 byte/element of HBM traffic —
+and widened to bf16 *in VMEM* for the dots. That removes the separate
+q/probs quantization ops the unfused int8 path needed (and their
+accuracy cost: here only K/V are quantized, q and probs stay exact).
+Per-position scales fold exactly: logits_t *= ks_t, p_t *= vs_t before
+the PV contraction (which sums over t).
+
+Masking is an index range [lo, hi] per batch row (scalar-prefetched):
+decode masks are always position bounds — `t <= pos` (greedy cache),
+`pad_len <= t <= slot` (right-aligned long-form prompts), full range
+(cross attention) — never arbitrary boolean tensors.
+
+Capability counterpart: the reference leans on torch SDPA/openai-whisper
+CUDA kernels for the same sites (ssak/infer/whisper_infer.py decode).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _kernel_plain(lo_ref, hi_ref, q_ref, k_ref, v_ref, o_ref):
+    b = pl.program_id(0)
+    lo, hi = lo_ref[b], hi_ref[b]
+    q = q_ref[0].astype(jnp.bfloat16)  # (1, Dh)
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T)
+    logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (1, T)
+    t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where((t >= lo) & (t <= hi), logits, _NEG)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T)
+    o = jax.lax.dot_general(p.astype(jnp.bfloat16), v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = o / s  # (1, Dh)
+
+
+def _kernel_int8(lo_ref, hi_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
+    b = pl.program_id(0)
+    lo, hi = lo_ref[b], hi_ref[b]
+    q = q_ref[0].astype(jnp.bfloat16)  # (1, Dh)
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T) widened in VMEM
+    logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    logits = logits * ks_ref[0, 0]  # (1, T) per-position K scales (exact)
+    t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where((t >= lo) & (t <= hi), logits, _NEG)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)  # fold per-position V scales
+    v = v_ref[0, 0].astype(jnp.bfloat16)
+    o = jax.lax.dot_general(pv, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = o / s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, interpret: bool = False):
+    """q: (B, H, Dh) PRE-SCALED query (multiply by Dh**-0.5 before calling);
+    kT/vT: (B, H, Dh, T) bf16 — or int8 with k_scales/v_scales (B, H, 1, T)
+    f32 per-position scales. lo/hi: (B,) int32 inclusive valid key range
+    per row. Returns (B, H, Dh) f32."""
+    B, H, Dh = q.shape
+    T = kT.shape[-1]
+    quant = k_scales is not None
+    kern = _kernel_int8 if quant else _kernel_plain
+    in_specs = [
+        pl.BlockSpec((1, 1, Dh), lambda b, h, *_: (b, h, 0)),
+        pl.BlockSpec((1, 1, Dh, T), lambda b, h, *_: (b, h, 0, 0)),
+    ]
+    args = [q, kT]
+    if quant:
+        in_specs.append(pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0)))
+        args.append(k_scales)
+    in_specs.append(pl.BlockSpec((1, 1, Dh, T), lambda b, h, *_: (b, h, 0, 0)))
+    args.append(vT)
+    if quant:
+        in_specs.append(pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0)))
+        args.append(v_scales)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Dh), lambda b, h, *_: (b, h, 0)),
+    )
+    bytes_kv = Dh * T * (1 if quant else 2) * 2 + (2 * 4 * T if quant else 0)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * Dh * T,
+            bytes_accessed=B * H * (bytes_kv + Dh * (2 + 4)),
+            transcendentals=B * H * T,
+        ),
+        interpret=interpret,
+    )(lo.astype(jnp.int32), hi.astype(jnp.int32), *args)
+
+
+def flash_decode_supported(Dh: int, T: int) -> bool:
+    """Shapes the kernel handles: head_dim a sublane multiple, K/V block
+    fits VMEM comfortably (double-buffered)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return Dh % 8 == 0 and Dh * T * 2 <= 4 * 1024 * 1024
