@@ -42,6 +42,10 @@ class Wav2Vec2Config:
     # reference loads these per language via model.load_adapter(language),
     # ssak/infer/transformers_infer.py:214). 0 = no adapters.
     adapter_attn_dim: int = 0
+    # rematerialize each transformer block in the backward pass: ~1/3 more
+    # block FLOPs for O(layers) less activation HBM — how wav2vec2-LARGE
+    # trains at batch 32 x 10 s on one chip (B=24 OOMs by 166 MB without)
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -203,19 +207,29 @@ def encode(params, waveform, cfg: Wav2Vec2Config, lengths=None, time_mask=None, 
 
     blocks = params["encoder"]["blocks"]
     if cfg.do_stable_layer_norm:
-        for blk in blocks:
+        def block(blk, x):
             h, _ = L.mha(L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = x + h
             x = x + ffn(blk, L.layer_norm(x, blk["mlp_ln"]))
-            x = adapt(blk, x)
+            return adapt(blk, x)
+
+        if cfg.remat and not cfg.num_experts:  # moe appends aux at trace time
+            block = jax.checkpoint(block)
+        for blk in blocks:
+            x = block(blk, x)
         x = L.layer_norm(x, params["encoder"]["layer_norm"])
     else:
-        x = L.layer_norm(x, params["encoder"]["layer_norm"])
-        for blk in blocks:
+        def block(blk, x):
             h, _ = L.mha(x, blk["attn"], cfg.num_heads, lengths=frame_lengths, dtype=dt)
             x = L.layer_norm(x + h, blk["attn_ln"])
             x = L.layer_norm(x + ffn(blk, x), blk["mlp_ln"])
-            x = adapt(blk, x)
+            return adapt(blk, x)
+
+        if cfg.remat and not cfg.num_experts:  # moe appends aux at trace time
+            block = jax.checkpoint(block)
+        x = L.layer_norm(x, params["encoder"]["layer_norm"])
+        for blk in blocks:
+            x = block(blk, x)
     return x, frame_lengths
 
 
