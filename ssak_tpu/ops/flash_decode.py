@@ -38,7 +38,7 @@ _NEG = -1e30
 def _kernel_plain(lo_ref, hi_ref, q_ref, k_ref, v_ref, o_ref):
     b = pl.program_id(0)
     lo, hi = lo_ref[b], hi_ref[b]
-    q = q_ref[0].astype(jnp.bfloat16)  # (1, Dh)
+    q = q_ref[0, 0].astype(jnp.bfloat16)  # (1, Dh)
     k = k_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T)
     logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (1, T)
     t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -48,13 +48,13 @@ def _kernel_plain(lo_ref, hi_ref, q_ref, k_ref, v_ref, o_ref):
     s = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T)
     o = jax.lax.dot_general(p.astype(jnp.bfloat16), v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0] = o / s  # (1, Dh)
+    o_ref[0, 0] = o / s  # (1, Dh)
 
 
 def _kernel_int8(lo_ref, hi_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
     b = pl.program_id(0)
     lo, hi = lo_ref[b], hi_ref[b]
-    q = q_ref[0].astype(jnp.bfloat16)  # (1, Dh)
+    q = q_ref[0, 0].astype(jnp.bfloat16)  # (1, Dh)
     k = k_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T) widened in VMEM
     logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     logits = logits * ks_ref[0, 0]  # (1, T) per-position K scales (exact)
@@ -66,7 +66,7 @@ def _kernel_int8(lo_ref, hi_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
     pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)  # fold per-position V scales
     v = v_ref[0, 0].astype(jnp.bfloat16)
     o = jax.lax.dot_general(pv, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0] = o / s
+    o_ref[0, 0] = o / s
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -79,11 +79,14 @@ def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, inte
     T = kT.shape[-1]
     quant = k_scales is not None
     kern = _kernel_int8 if quant else _kernel_plain
+    # q/o carried 4-D with an explicit singleton: TPU lowering requires the
+    # block's last two dims divisible by (8, 128) OR equal to the array
+    # dims — (1, Dh) as full trailing dims satisfies that
     in_specs = [
-        pl.BlockSpec((1, 1, Dh), lambda b, h, *_: (b, h, 0)),
+        pl.BlockSpec((1, 1, 1, Dh), lambda b, h, *_: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, Dh, T), lambda b, h, *_: (b, h, 0, 0)),
     ]
-    args = [q, kT]
+    args = [q[:, :, None, :], kT]
     if quant:
         in_specs.append(pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0)))
         args.append(k_scales)
@@ -96,13 +99,13 @@ def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, inte
         num_scalar_prefetch=2,
         grid=(B, H),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Dh), lambda b, h, *_: (b, h, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, Dh), lambda b, h, *_: (b, h, 0, 0)),
     )
     bytes_kv = Dh * T * (1 if quant else 2) * 2 + (2 * 4 * T if quant else 0)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, Dh), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * Dh * T,
             bytes_accessed=B * H * (bytes_kv + Dh * (2 + 4)),
@@ -110,6 +113,7 @@ def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, inte
         ),
         interpret=interpret,
     )(lo.astype(jnp.int32), hi.astype(jnp.int32), *args)
+    return out[:, :, 0]
 
 
 def flash_decode_supported(Dh: int, T: int) -> bool:
