@@ -207,7 +207,7 @@ def bench_whisper_decode(int8: bool = False):
         from ssak_tpu.models.quant import quantize_params
 
         params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=8))
-        B = 2 * W_DEC_BATCH  # halved weight+KV HBM -> twice the windows
+        B = 40  # halved weight+KV HBM -> ~2x the windows (48 leaves <200 MB slack; 40 is the safe production batch)
     else:
         params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     rng = np.random.RandomState(0)

@@ -35,71 +35,91 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _kernel_plain(lo_ref, hi_ref, q_ref, k_ref, v_ref, o_ref):
-    b = pl.program_id(0)
-    lo, hi = lo_ref[b], hi_ref[b]
-    q = q_ref[0, 0].astype(jnp.bfloat16)  # (1, Dh)
-    k = k_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T)
-    logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)  # (1, T)
-    t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where((t >= lo) & (t <= hi), logits, _NEG)
-    m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp(logits - m)
-    s = jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T)
-    o = jax.lax.dot_general(p.astype(jnp.bfloat16), v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o / s  # (1, Dh)
+def _make_kernel_plain(Hb):
+    def kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, o_ref):
+        b = pl.program_id(0)
+        lo, hi = lo_ref[b], hi_ref[b]
+        for j in range(Hb):  # heads per instance: amortizes grid overhead
+            q = q_ref[0, j].astype(jnp.bfloat16)  # (1, Dh)
+            k = k_ref[0, j].astype(jnp.bfloat16)  # (Dh, T)
+            logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where((t >= lo) & (t <= hi), logits, _NEG)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[0, j].astype(jnp.bfloat16)  # (Dh, T)
+            o = jax.lax.dot_general(p.astype(jnp.bfloat16), v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            o_ref[0, j] = o / s  # (1, Dh)
+
+    return kernel
 
 
-def _kernel_int8(lo_ref, hi_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
-    b = pl.program_id(0)
-    lo, hi = lo_ref[b], hi_ref[b]
-    q = q_ref[0, 0].astype(jnp.bfloat16)  # (1, Dh)
-    k = k_ref[0, 0].astype(jnp.bfloat16)  # (Dh, T) widened in VMEM
-    logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    logits = logits * ks_ref[0, 0]  # (1, T) per-position K scales (exact)
-    t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where((t >= lo) & (t <= hi), logits, _NEG)
-    m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp(logits - m)
-    s = jnp.sum(p, axis=1, keepdims=True)
-    pv = (p * vs_ref[0, 0]).astype(jnp.bfloat16)  # fold per-position V scales
-    v = v_ref[0, 0].astype(jnp.bfloat16)
-    o = jax.lax.dot_general(pv, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o / s
+def _make_kernel_int8(Hb):
+    def kernel(lo_ref, hi_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
+        b = pl.program_id(0)
+        lo, hi = lo_ref[b], hi_ref[b]
+        for j in range(Hb):
+            q = q_ref[0, j].astype(jnp.bfloat16)  # (1, Dh)
+            k = k_ref[0, j].astype(jnp.bfloat16)  # (Dh, T) widened in VMEM
+            logits = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            logits = logits * ks_ref[0, j].astype(jnp.float32)  # per-position K scales (exact)
+            t = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where((t >= lo) & (t <= hi), logits, _NEG)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=1, keepdims=True)
+            pv = (p * vs_ref[0, j].astype(jnp.float32)).astype(jnp.bfloat16)  # fold per-position V scales
+            v = v_ref[0, j].astype(jnp.bfloat16)
+            o = jax.lax.dot_general(pv, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            o_ref[0, j] = o / s
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "head_block"))
+def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, interpret: bool = False, head_block: int = None):
     """q: (B, H, Dh) PRE-SCALED query (multiply by Dh**-0.5 before calling);
     kT/vT: (B, H, Dh, T) bf16 — or int8 with k_scales/v_scales (B, H, 1, T)
-    f32 per-position scales. lo/hi: (B,) int32 inclusive valid key range
-    per row. Returns (B, H, Dh) f32."""
+    per-position scales (f32 or bf16). lo/hi: (B,) int32 inclusive valid
+    key range per row. head_block: heads per grid instance (divisor of H) —
+    per-instance work is tiny, so fewer/larger instances amortize grid
+    overhead. Returns (B, H, Dh) f32."""
     B, H, Dh = q.shape
     T = kT.shape[-1]
     quant = k_scales is not None
-    kern = _kernel_int8 if quant else _kernel_plain
+    if head_block is None:
+        # largest divisor of H whose double-buffered K+V blocks stay well
+        # under VMEM (~16 MB)
+        per_head = Dh * T * (1 if quant else 2) * 2
+        head_block = 1
+        for hb in range(H, 0, -1):
+            if H % hb == 0 and hb * per_head * 2 <= 6 * 1024 * 1024:
+                head_block = hb
+                break
+    Hb = head_block
+    kern = _make_kernel_int8(Hb) if quant else _make_kernel_plain(Hb)
     # q/o carried 4-D with an explicit singleton: TPU lowering requires the
     # block's last two dims divisible by (8, 128) OR equal to the array
     # dims — (1, Dh) as full trailing dims satisfies that
     in_specs = [
-        pl.BlockSpec((1, 1, 1, Dh), lambda b, h, *_: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, Dh, T), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, Hb, 1, Dh), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, Hb, Dh, T), lambda b, h, *_: (b, h, 0, 0)),
     ]
     args = [q[:, :, None, :], kT]
     if quant:
-        in_specs.append(pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, Hb, 1, T), lambda b, h, *_: (b, h, 0, 0)))
         args.append(k_scales)
-    in_specs.append(pl.BlockSpec((1, 1, Dh, T), lambda b, h, *_: (b, h, 0, 0)))
+    in_specs.append(pl.BlockSpec((1, Hb, Dh, T), lambda b, h, *_: (b, h, 0, 0)))
     args.append(vT)
     if quant:
-        in_specs.append(pl.BlockSpec((1, 1, 1, T), lambda b, h, *_: (b, h, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, Hb, 1, T), lambda b, h, *_: (b, h, 0, 0)))
         args.append(v_scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, H),
+        grid=(B, H // Hb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, Dh), lambda b, h, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hb, 1, Dh), lambda b, h, *_: (b, h, 0, 0)),
     )
     bytes_kv = Dh * T * (1 if quant else 2) * 2 + (2 * 4 * T if quant else 0)
     out = pl.pallas_call(
