@@ -137,8 +137,20 @@ def flash_decode_attention(q, kT, vT, lo, hi, k_scales=None, v_scales=None, inte
 
 
 def flash_decode_supported(Dh: int, T: int) -> bool:
-    """Shapes the kernel handles: head_dim a sublane multiple, K/V block
-    fits VMEM comfortably (double-buffered)."""
+    """Gate for routing decode attention through this kernel.
+
+    OPT-IN (SSAK_FLASH_DECODE=1): measured on the current remote-runtime
+    chip, every attention-site formulation bottoms out at a ~0.4 ms fixed
+    per-site latency regardless of bytes moved (XLA bf16 T=1500: 557 us vs
+    225 us DMA floor; int8 T=448: 414 us vs 34 us floor), and the fused
+    kernel only ties XLA once the q-reshape/cast glue is counted
+    (PERF.md "flash-decode investigation"). On a runtime without that
+    per-op overhead the kernel's fewer-launches + int8 streaming should
+    win; flip the env var and re-measure there."""
+    import os
+
+    if os.environ.get("SSAK_FLASH_DECODE") != "1":
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     return Dh % 8 == 0 and Dh * T * 2 <= 4 * 1024 * 1024
