@@ -113,3 +113,69 @@ def test_tensor_parallel_inference_matches_single_device(reference_data_dir):
     lp2, fl2 = compute_log_probas(c2, x, lens)
     np.testing.assert_array_equal(np.asarray(fl1), np.asarray(fl2))
     np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2), atol=2e-3)
+
+
+def test_ctc_infer_routes_word_lm_to_device(reference_data_dir, tmp_path, monkeypatch):
+    """--lm + --lexicon + beam_width>1 with an order<=3 LM must route to
+    the on-device word-LM beam (VERDICT r2 next #2 wiring) and produce
+    only in-lexicon words."""
+    monkeypatch.setenv("DATAPATH", reference_data_dir)
+    from ssak_tpu.decode.lm import train_ngram_lm, write_arpa
+    from ssak_tpu.infer import ctc_infer as ci
+
+    words = ["bonjour", "monde", "le", "la"]
+    lm = train_ngram_lm(["bonjour le monde", "la monde bonjour"] * 20, order=2)
+    arpa = tmp_path / "lm.arpa"
+    write_arpa(lm, str(arpa))
+    lexfile = tmp_path / "lex.txt"
+    lexfile.write_text("\n".join(words), encoding="utf-8")
+
+    calls = {"device": 0, "host": 0}
+    orig_dev, orig_host = ci.ctc_decode_beam_device, ci.ctc_decode_with_lm
+
+    def spy_dev(*a, **k):
+        calls["device"] += 1
+        assert k.get("word_lm") is not None
+        return orig_dev(*a, **k)
+
+    def spy_host(*a, **k):
+        calls["host"] += 1
+        return orig_host(*a, **k)
+
+    monkeypatch.setattr(ci, "ctc_decode_beam_device", spy_dev)
+    monkeypatch.setattr(ci, "ctc_decode_with_lm", spy_host)
+    wav = os.path.join(reference_data_dir, "audio", "bonjour.wav")
+    [t] = list(ci.ctc_infer(
+        None, wav, seeded_test_config="wav2vec2",
+        lm_path=str(arpa), lexicon_path=str(lexfile), beam_width=8,
+    ))
+    assert calls["device"] == 1 and calls["host"] == 0
+    for w in t.split():
+        assert w in words, t
+
+
+def test_whisper_batch_routes_longform_batched(monkeypatch):
+    """Multiple long utterances go through ONE transcribe_longform_batch
+    call (not a per-utterance loop)."""
+    import ssak_tpu.infer.whisper_infer as wi
+    from ssak_tpu.infer.general import _seeded_model
+
+    model = _seeded_model("whisper")
+    window = model.cfg.n_audio_ctx * 2 * 160
+    rng = np.random.RandomState(0)
+    batch = [
+        (rng.randn(window * 2) * 0.05).astype(np.float32),
+        (rng.randn(window // 2) * 0.05).astype(np.float32),  # short
+        (rng.randn(window * 3) * 0.05).astype(np.float32),
+    ]
+    seen = []
+    orig = wi.transcribe_longform_batch
+
+    def spy(model, audios, **kw):
+        seen.append(len(audios))
+        return orig(model, audios, **kw)
+
+    monkeypatch.setattr(wi, "transcribe_longform_batch", spy)
+    texts = wi.whisper_transcribe_batch(model, batch, max_tokens=6)
+    assert seen == [2]  # both long rows in one batched call
+    assert len(texts) == 3 and all(isinstance(t, str) for t in texts)
