@@ -347,28 +347,9 @@ def mha(
     Returns (y, new_cache).
     """
     src = x if kv_x is None else kv_x
-    if kv_x is None and _can_fuse_qkv(params):
-        # ONE (D, 3D) matmul instead of three: on a launch-latency-bound
-        # runtime this removes 2 ops per self-attention site per step
-        # (64/decode-step at whisper-large); XLA hoists the weight concat
-        # out of the token scan as a loop-invariant, so it costs one copy
-        # per program call, not per token. Skipped when any projection is
-        # quantized or carries LoRA (dense() owns those paths).
-        wq, wk, wv = (params[n]["kernel"].astype(dtype) for n in ("query", "key", "value"))
-        W = jnp.concatenate([wq, wk, wv], axis=1)
-        D = wq.shape[1]
-        qkv = jnp.matmul(x.astype(dtype), W, preferred_element_type=jnp.float32)
-        biases = []
-        for n in ("query", "key", "value"):
-            b = params[n].get("bias")
-            biases.append(jnp.zeros((D,), jnp.float32) if b is None else b)
-        qkv = (qkv + jnp.concatenate(biases)).astype(x.dtype)
-        qm, km, vm = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
-        q = split_heads(qm, n_heads)
-    else:
-        q = split_heads(dense(x, params["query"], dtype), n_heads)
-        km = dense(src, params["key"], dtype)
-        vm = dense(src, params["value"], dtype)
+    q = split_heads(dense(x, params["query"], dtype), n_heads)
+    km = dense(src, params["key"], dtype)
+    vm = dense(src, params["value"], dtype)
     if cache is not None:
         kT = to_decode_kv(km, n_heads)
         vT = to_decode_kv(vm, n_heads)
@@ -408,14 +389,6 @@ def mha(
             mask = (jnp.arange(k.shape[1])[None, :] < lengths[:, None])[:, None, None, :]
         y = attention(q, k, v, mask=mask, dtype=dtype)
     return dense(merge_heads(y), params["out"], dtype), None
-
-
-def _can_fuse_qkv(params) -> bool:
-    for n in ("query", "key", "value"):
-        p = params[n]
-        if isinstance(p.get("kernel"), dict) or "lora_A" in p:
-            return False
-    return True
 
 
 def mlp(x, params, dtype=jnp.bfloat16, activation=gelu):
