@@ -209,7 +209,11 @@ def bench_whisper_decode(int8: bool = False):
         params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=8))
         B = 40  # halved weight+KV HBM -> ~2x the windows (48 leaves <200 MB slack; 40 is the safe production batch)
     else:
-        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        # load-time decoder qkv fusion (2 fewer launches per self-attn
+        # site); quantized kernels skip it inside fuse_qkv_params
+        params = whisper.fuse_decode_qkv(
+            jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        )
     rng = np.random.RandomState(0)
     n_frames = cfg.n_audio_ctx * 2
     window_s = n_frames * 160 / SR
@@ -312,6 +316,67 @@ def bench_ctc_beam_decode(mode: str = "plain"):
     return audio_s_per_s, audio_s_per_s * ctc_decode_flops_per_audio_second(cfg)
 
 
+def bench_conformer_train():
+    """Conformer-large CTC train (NeMo conformer_ctc_large dims, RoPE
+    attention) — the third production model family, same harness."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ssak_tpu.models import conformer
+    from ssak_tpu.ops.ctc_pallas import ctc_loss_fast as ctc_loss
+    from ssak_tpu.train.steps import init_train_state, make_optimizer
+    from ssak_tpu.utils.flops import conformer_train_flops_per_audio_second
+
+    cfg = conformer.make_config("large", vocab_size=128)
+    params = conformer.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(total_steps=1000)
+    state = init_train_state(params, opt)
+    rng = np.random.RandomState(0)
+    T = SECONDS * SR
+    batch = {
+        "audio": jnp.asarray(rng.randn(BATCH, T).astype(np.float32) * 0.1),
+        "audio_lengths": jnp.full((BATCH,), T, jnp.int32),
+        "labels": jnp.asarray(rng.randint(1, 128, (BATCH, LABEL_LEN)), jnp.int32),
+        "label_lengths": jnp.full((BATCH,), LABEL_LEN, jnp.int32),
+    }
+
+    def loss_fn(p, batch):
+        lp, fl = conformer.ctc_log_probs(p, batch["audio"], cfg, batch["audio_lengths"])
+        return ctc_loss(lp, fl, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_n(state, batch):
+        def body(_i, st):
+            loss, grads = jax.value_and_grad(loss_fn)(st["params"], batch)
+            updates, opt_state = opt.update(grads, st["opt_state"], st["params"])
+            import optax as _optax
+
+            return {
+                "params": _optax.apply_updates(st["params"], updates),
+                "opt_state": opt_state,
+                "step": st["step"] + 1,
+                "loss": loss,
+            }
+
+        st = jax.lax.fori_loop(0, N_INNER, body, {**state, "loss": jnp.float32(0)})
+        return {k: st[k] for k in ("params", "opt_state", "step")}, st["loss"]
+
+    state, loss = train_n(state, batch)
+    l0 = float(loss)
+    assert np.isfinite(l0) and l0 > 0, l0
+    log(f"conformer train warmup: loss={l0:.4f}")
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        state, loss = train_n(state, batch)
+        lv = float(loss)
+    dt = time.perf_counter() - t0
+    steps = N_INNER * TIMED_CALLS
+    log(f"conformer train: {dt/steps*1000:.1f} ms/step, final loss={lv:.3f}")
+    audio_s_per_s = BATCH * SECONDS * steps / dt
+    return audio_s_per_s, audio_s_per_s * conformer_train_flops_per_audio_second(cfg)
+
+
 def bench_torch_cpu_baseline():
     """Reference-stack equivalent: HF Wav2Vec2ForCTC fwd+bwd on torch CPU."""
     cache = os.path.join(HERE, "bench_baseline.json")
@@ -362,6 +427,7 @@ def main():
         ("ctc_beam_lexicon", partial(bench_ctc_beam_decode, mode="lexicon"), "ctc_beam16_lexicon_decode_audio_s_per_s"),
         ("ctc_beam_wordlm", partial(bench_ctc_beam_decode, mode="wordlm"), "ctc_beam16_wordlm_decode_audio_s_per_s"),
         ("ctc_train_large", partial(bench_ctc_train, preset="large", batch=16), "ctc_train_large_audio_s_per_s"),
+        ("conformer_train", bench_conformer_train, "conformer_train_audio_s_per_s"),
     ):
         try:
             value, flops_per_s = fn()

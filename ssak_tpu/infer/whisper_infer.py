@@ -513,6 +513,14 @@ def whisper_infer(
     model = load_model(model_dir, seeded_test_config=seeded_test_config, quantize_bits=quantize_bits)
     if tensor_parallel:
         shard_model(model, model_axis=tensor_parallel)
+    else:
+        # load-time decoder qkv fusion: one (D, 3D) projection matmul per
+        # self-attn site (launch-latency win; PERF.md). Skipped under TP —
+        # the megatron rules split q/k/v head-wise, which a naive
+        # concatenated layout would break across shards.
+        from ssak_tpu.models.whisper import fuse_decode_qkv
+
+        model.params = fuse_decode_qkv(model.params)
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True)
     for batch, ids in batches:
         texts = whisper_transcribe_batch(

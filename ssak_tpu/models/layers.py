@@ -347,9 +347,19 @@ def mha(
     Returns (y, new_cache).
     """
     src = x if kv_x is None else kv_x
-    q = split_heads(dense(x, params["query"], dtype), n_heads)
-    km = dense(src, params["key"], dtype)
-    vm = dense(src, params["value"], dtype)
+    if kv_x is None and "qkv" in params:
+        # pre-fused projection (see fuse_qkv_params): ONE (D, 3D) matmul
+        # instead of three — the fused kernel is built at LOAD time, not
+        # concatenated inside the program (an in-scan concat measured
+        # slower: XLA re-materialized it per token step, PERF.md)
+        qkv = dense(x, params["qkv"], dtype)
+        D = qkv.shape[-1] // 3
+        q = split_heads(qkv[..., :D], n_heads)
+        km, vm = qkv[..., D : 2 * D], qkv[..., 2 * D :]
+    else:
+        q = split_heads(dense(x, params["query"], dtype), n_heads)
+        km = dense(src, params["key"], dtype)
+        vm = dense(src, params["value"], dtype)
     if cache is not None:
         kT = to_decode_kv(km, n_heads)
         vT = to_decode_kv(vm, n_heads)
@@ -389,6 +399,30 @@ def mha(
             mask = (jnp.arange(k.shape[1])[None, :] < lengths[:, None])[:, None, None, :]
         y = attention(q, k, v, mask=mask, dtype=dtype)
     return dense(merge_heads(y), params["out"], dtype), None
+
+
+def fuse_qkv_params(attn):
+    """Return a copy of one attention param dict with query/key/value
+    kernels concatenated into a single 'qkv' entry ((D, 3D) kernel +
+    bias, zeros where a projection had none). A LOAD-TIME transform for
+    decode models (mha picks the fused path when 'qkv' is present);
+    skipped when any projection is quantized or carries LoRA. The
+    originals are dropped from the copy to reclaim HBM — callers that
+    still need them (cross-attention precompute) must not fuse those
+    dicts."""
+    for n in ("query", "key", "value"):
+        p = attn[n]
+        if isinstance(p.get("kernel"), dict) or "lora_A" in p:
+            return attn
+    kernels = [attn[n]["kernel"] for n in ("query", "key", "value")]
+    D = kernels[0].shape[1]
+    biases = [
+        attn[n].get("bias") if attn[n].get("bias") is not None else jnp.zeros((D,), kernels[0].dtype)
+        for n in ("query", "key", "value")
+    ]
+    out = {k: v for k, v in attn.items() if k not in ("query", "key", "value")}
+    out["qkv"] = {"kernel": jnp.concatenate(kernels, axis=1), "bias": jnp.concatenate(biases)}
+    return out
 
 
 def mlp(x, params, dtype=jnp.bfloat16, activation=gelu):

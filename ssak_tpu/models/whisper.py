@@ -169,6 +169,22 @@ def decode_train(params, tokens, audio_features, cfg: WhisperConfig):
     return logits.astype(jnp.float32)
 
 
+def fuse_decode_qkv(params):
+    """Load-time decode optimization: fuse each DECODER block's self-
+    attention q/k/v projections into one (D, 3D) matmul
+    (layers.fuse_qkv_params). Cross-attention stays split (its K/V are
+    precomputed per utterance, only q runs per step) and the encoder is
+    untouched. Apply before quantize/shard; skipped dicts (LoRA/quantized)
+    pass through unchanged."""
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["blocks"] = [
+        {**blk, "attn": L.fuse_qkv_params(blk["attn"])} for blk in params["decoder"]["blocks"]
+    ]
+    out["decoder"] = dec
+    return out
+
+
 def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
     """Cross-attention K/V are decode-invariant: compute once per utterance
     instead of per token (the reference's openai-whisper does this with

@@ -78,6 +78,27 @@ def wav2vec2_train_flops_per_audio_second(cfg, freeze_feature_encoder: bool = Tr
     return conv * conv_mult + 3.0 * rest
 
 
+def conformer_train_flops_per_audio_second(cfg) -> float:
+    """Model FLOPs of one fwd+bwd second of audio for the conformer CTC
+    step: macaron double-FFN, MHSA, conv module (pointwise GLU + depthwise
+    + pointwise), lm head — at the subsampled frame rate (100 fps mel /
+    subsampling_factor). Subsampling front-end excluded (small, and
+    underestimating FLOPs under-reports MFU — conservative)."""
+    T = 100.0 / cfg.subsampling_factor  # frames per audio second
+    d = cfg.d_model
+    ffn = cfg.ff_expansion * d
+    per_layer = (
+        2 * (2 * 2.0 * T * d * ffn)          # two macaron FFNs (fc1+fc2 each)
+        + 4 * 2.0 * T * d * d                # qkvo projections
+        + 2 * 2.0 * T * T * d                # scores + weighted sum
+        + 2.0 * T * d * 2 * d                # conv module pointwise GLU in
+        + 2.0 * T * cfg.conv_kernel * d      # depthwise
+        + 2.0 * T * d * d                    # conv module pointwise out
+    )
+    head = 2.0 * T * d * cfg.vocab_size
+    return 3.0 * (cfg.num_layers * per_layer + head)
+
+
 @dataclass
 class WhisperStepShape:
     batch: int

@@ -145,6 +145,29 @@ def test_decode_window_best_of(model):
     assert _avg_logprob(lp1, l1).mean() >= _avg_logprob(lpb, lb).mean() - 1e-6
 
 
+def test_fused_qkv_decode_parity(model):
+    """fuse_decode_qkv (load-time (D,3D) projection fusion) must reproduce
+    the unfused greedy decode exactly at f32."""
+    params, cfg = model
+    cfg32 = whisper.make_config("tiny_test", dtype="float32")
+    fused = whisper.fuse_decode_qkv(params)
+    assert "qkv" in fused["decoder"]["blocks"][0]["attn"]
+    assert "query" not in fused["decoder"]["blocks"][0]["attn"]
+    assert "query" in fused["decoder"]["blocks"][0]["cross_attn"]  # cross stays split
+    rng = np.random.RandomState(9)
+    mel = jnp.asarray(rng.randn(2, cfg.n_mels, 200).astype(np.float32) * 0.1)
+    prompt = [cfg.sot, cfg.no_timestamps]
+    t0, l0 = whisper.greedy_decode(params, mel, cfg32, prompt, max_tokens=10)
+    t1, l1 = whisper.greedy_decode(fused, mel, cfg32, prompt, max_tokens=10)
+    assert (np.asarray(t0) == np.asarray(t1)).all()
+    # LoRA-carrying projections are skipped, not broken
+    from ssak_tpu.models.lora import add_lora
+
+    lp = add_lora(params, rank=2)
+    still = whisper.fuse_decode_qkv(lp)
+    assert "qkv" not in still["decoder"]["blocks"][0]["attn"]
+
+
 # --- int8 KV decode (layers.decode_attention_int8 / self_attention_int8) --
 
 
