@@ -179,3 +179,27 @@ def test_whisper_batch_routes_longform_batched(monkeypatch):
     texts = wi.whisper_transcribe_batch(model, batch, max_tokens=6)
     assert seen == [2]  # both long rows in one batched call
     assert len(texts) == 3 and all(isinstance(t, str) for t in texts)
+
+
+def test_whisper_cli_accurate_preset_maps_to_beam5_bestof5(reference_data_dir, monkeypatch, tmp_path):
+    """--accurate must translate to beam_size=5 + best_of=5 + temperature
+    fallback at the whisper_infer boundary (reference whisper_infer.py
+    :319-332 preset semantics)."""
+    import ssak_tpu.infer.whisper_infer as wi
+
+    seen = {}
+
+    def fake_infer(model_dir, audios, **kw):
+        seen.update(kw)
+        return iter([("id", "text")])
+
+    monkeypatch.setattr(wi, "whisper_infer", fake_infer)
+    wav = os.path.join(reference_data_dir, "audio", "bonjour.wav")
+    wi.cli([wav, "dummy_model", "--accurate", "--output", str(tmp_path / "o.txt")])
+    assert seen["beam_size"] == 5
+    assert seen["best_of"] == 5
+    assert seen["temperature_fallback"] is True
+    # --efficient forces greedy single-candidate
+    seen.clear()
+    wi.cli([wav, "dummy_model", "--efficient", "--best_of", "9", "--output", str(tmp_path / "o.txt")])
+    assert seen["beam_size"] == 0 and seen["best_of"] == 1
