@@ -185,6 +185,26 @@ def test_int8_kv_attention_op_parity():
     assert float(jnp.max(jnp.abs(out - ref))) < 0.05 * float(jnp.max(jnp.abs(ref))) + 1e-3
 
 
+def test_int8_kv_attention_parity_at_production_length():
+    """Advisor r2: the int8 probs quantization error grows ~sqrt(T); the
+    tiny-model tests only saw T<=100. Pin the error at large-v3's
+    cross-attention length (T=1500, Dh=64) with the shipped per-position
+    scales — both against soft (spread) and peaked attention patterns."""
+    from ssak_tpu.models import layers as L
+
+    rng = np.random.RandomState(2)
+    B, H, Dh, T = 2, 4, 64, 1500
+    kT = jnp.asarray(rng.randn(B, H, Dh, T).astype(np.float32)) * 0.5
+    vT = jnp.asarray(rng.randn(B, H, Dh, T).astype(np.float32)) * 0.5
+    kv8 = L.quantize_decode_kv(kT, vT)
+    for q_scale, tol in ((0.3, 0.05), (2.0, 0.05)):  # soft and peaked logits
+        q = jnp.asarray(rng.randn(B, 1, H, Dh).astype(np.float32)) * q_scale
+        ref = L.decode_attention(q, kT, vT, dtype=jnp.float32)
+        out = L.decode_attention_int8(q, kv8, dtype=jnp.float32)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < tol * float(jnp.max(jnp.abs(ref))) + 1e-3, (q_scale, err)
+
+
 def test_int8_self_cache_parity():
     """int8 self-attention cache (per-position scales) matches the bf16
     cache path step by step."""
