@@ -387,6 +387,24 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, wo
     return jax.jit(run)
 
 
+# host tables -> device arrays, converted ONCE per table object: the
+# lexicon/word-LM tables are tens of MB and live for the whole run (built
+# once per model in ctc_infer), but jnp.asarray on a numpy array re-uploads
+# every call — over a remote runtime with a per-transfer latency floor that
+# tax dominates small batches (advisor r3 finding). Entries keep a strong
+# ref to the host object so an id() can never be reused while cached.
+_DEVICE_TABLE_CACHE = {}
+
+
+def _cached_device(obj, extra_key, build):
+    key = (id(obj), extra_key)
+    ent = _DEVICE_TABLE_CACHE.get(key)
+    if ent is None or ent[0] is not obj:
+        ent = (obj, build())
+        _DEVICE_TABLE_CACHE[key] = ent
+    return ent[1]
+
+
 def _prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta):
     """Device-side arrays for word n-gram fusion (word_lm from
     decode.lm.word_lm_device_tables; lexicon_tables must include the
@@ -470,12 +488,21 @@ def ctc_beam_search_device(
     prog = _DEVICE_BEAM_CACHE[key]
     aux = {}
     if use_lm:
-        aux["char_lm"] = jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha  # natural log, weighted
+        aux["char_lm"] = _cached_device(
+            lm_table, ("char", float(lm_alpha)),
+            lambda: jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha,  # natural log, weighted
+        )
     if use_lexicon:
-        aux["lex_trans"] = jnp.asarray(lexicon_tables[0])
-        aux["lex_accept"] = jnp.asarray(lexicon_tables[1])
+        aux.update(_cached_device(
+            lexicon_tables, "lex",
+            lambda: {"lex_trans": jnp.asarray(lexicon_tables[0]),
+                     "lex_accept": jnp.asarray(lexicon_tables[1])},
+        ))
     if word_lm is not None:
-        aux.update(_prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta))
+        aux.update(_cached_device(
+            word_lm, ("wlm", id(lexicon_tables), float(lm_alpha), float(lm_beta)),
+            lambda: _prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta),
+        ))
     best, srcs, toks = prog(log_probs, frame_lengths, aux)
     handle = _AsyncBeamResult(best, srcs, toks, frame_lengths)
     return handle if return_async else handle.result()

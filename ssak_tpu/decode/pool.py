@@ -23,8 +23,15 @@ _WORKER = {}
 
 
 def _init_worker(lm_path, lexicon_path, vocab, blank_id, beam_width, alpha, beta):
-    # never let a worker touch a device even if someone later imports jax
+    # never let a worker touch a device even if someone later imports jax.
+    # The env var alone is NOT enough on this runtime: a sitecustomize has
+    # already imported jax with the TPU plugin by the time this initializer
+    # runs in the spawned worker, so the platform must be re-pinned through
+    # jax.config (apply_platform_env) — advisor r3 finding.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    from ssak_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()
     lm = None
     if lm_path:
         from ssak_tpu.decode.lm import ArpaLM

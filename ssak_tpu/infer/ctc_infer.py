@@ -176,13 +176,16 @@ def ctc_infer(
     # host-beam routes get a worker pool when asked (reference
     # kaldi_infer.py:175 used multiprocessing for exactly this)
     pool = None
+    # ONE effective width for every host-beam route (pooled or in-process),
+    # so results cannot differ by --num_workers (advisor r3 finding)
+    host_beam = beam_width if beam_width > 1 else 25
     host_beam_route = word_lm_tables is None and (lm is not None or (lexicon is not None and lex_tables is None))
     if num_workers and num_workers > 1 and host_beam_route:
         from ssak_tpu.decode.pool import HostBeamPool
 
         pool = HostBeamPool(
             num_workers, lm_path=lm_path, lexicon_path=lexicon_path, vocab=model.vocab(),
-            blank_id=model.cfg.blank_id, beam_width=beam_width or 25, alpha=lm_alpha, beta=lm_beta,
+            blank_id=model.cfg.blank_id, beam_width=host_beam, alpha=lm_alpha, beta=lm_beta,
         )
     meter = ThroughputMeter()
     batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate, output_ids=True, sort_by_len=sort_by_len)
@@ -193,12 +196,12 @@ def ctc_infer(
                     model, batch, beam_width=beam_width, lexicon_tables=lex_tables,
                     word_lm=word_lm_tables, lm_alpha=lm_alpha, lm_beta=lm_beta)
             elif lm is not None:
-                texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=beam_width or 25, lexicon=lexicon, pool=pool)
+                texts = ctc_decode_with_lm(model, batch, lm, alpha=lm_alpha, beta=lm_beta, beam_width=host_beam, lexicon=lexicon, pool=pool)
             elif lex_tables is not None:
                 # lexicon without word-LM: the constraint runs fully on device
                 texts = ctc_decode_beam_device(model, batch, beam_width=beam_width, lexicon_tables=lex_tables)
             elif lexicon is not None:
-                texts = ctc_decode_with_lm(model, batch, None, beam_width=25, lexicon=lexicon, pool=pool)
+                texts = ctc_decode_with_lm(model, batch, None, beam_width=host_beam, lexicon=lexicon, pool=pool)
             elif beam_width > 1:
                 texts = ctc_decode_beam_device(model, batch, beam_width=beam_width)
             else:

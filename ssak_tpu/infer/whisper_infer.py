@@ -269,6 +269,19 @@ def transcribe_longform_batch(
             buf[P - len(ids):] = ids
             bufs.append(buf)
             plens.append(len(ids))
+        # pad the active sub-batch up to a power-of-2 width: as rows finish
+        # the active count takes every value B..1, and a jitted
+        # decode_window program per distinct width means up to B multi-
+        # minute large-v3 compiles (advisor r3 medium). Duplicating row 0
+        # into dummy slots caps the program count at log2(B)+1; dummy
+        # outputs are simply never read (pending/results index real rows).
+        W = 1
+        while W < len(active):
+            W *= 2
+        while len(mels) < W:
+            mels.append(mels[0])
+            bufs.append(bufs[0])
+            plens.append(plens[0])
         mel = log_mel_spectrogram(jnp.asarray(np.stack(mels)), n_mels=cfg.n_mels)
         buf = np.stack(bufs)
 

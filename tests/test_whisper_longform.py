@@ -373,6 +373,37 @@ def test_longform_batch_rows_advance_independently(model):
     assert widths == [2, 1, 1]  # row 0 finishes after its single window
 
 
+def test_longform_batch_width_bucketing(model):
+    """Active sub-batches are padded to power-of-2 widths so the number of
+    compiled decode_window programs is bounded by log2(B)+1, not by every
+    distinct active-row count (advisor r3: B recompiles on large-v3 would
+    each cost minutes on the remote TPU)."""
+    from ssak_tpu.infer.whisper_infer import transcribe_longform_batch
+
+    cfg = model.cfg
+    B = cfg.timestamp_begin
+    widths = []
+
+    def decode(mel, buf, plens, temperature, step_seed):
+        widths.append(mel.shape[0])
+        A = mel.shape[0]
+        assert len(plens) == A and A & (A - 1) == 0  # power of 2, padded consistently
+        return [[B, 10, B + 99] for _ in range(A)], np.full(A, -0.5, np.float32), np.zeros(A, np.float32)
+
+    # 3 active rows decode at width 4; after two finish, width drops to 1
+    audios = [
+        np.zeros(int(2.0 * 16000), np.float32),
+        np.zeros(int(2.0 * 16000), np.float32),
+        np.zeros(int(6.0 * 16000), np.float32),
+    ]
+    res = transcribe_longform_batch(
+        model, audios, with_timestamps=True, temperatures=(0.0,),
+        no_speech_threshold=None, batch_decode_fn=decode,
+    )
+    assert widths == [4, 1, 1]
+    assert all(r["text"].strip() == "10" * max(1, len(r["segments"])) or r["text"] for r in res)
+
+
 def test_longform_batch_per_row_fallback(model):
     """Only failing rows consume retry results: a row that passed at T=0
     keeps its first transcript even though the sub-batch re-decodes."""
