@@ -1,26 +1,39 @@
 """Benchmarks: CTC train (headline, base + large dims), Whisper large-v3
-LoRA train, Whisper large-v3 batched greedy decode (bf16 AND int8 weights +
-int8 KV), CTC beam decode (plain, lexicon-constrained, word-LM fused) —
-each reported with achieved model TFLOP/s and MFU where FLOPs are the
-dominant term (ssak_tpu.utils.flops analytic accounting vs chip peak).
+LoRA train, Whisper large-v3 batched greedy decode (bf16 / int8 / int4
+weights), the --accurate decode chain (beam5 + best_of5 + fallback), CTC
+beam decode (plain, lexicon-constrained, word-LM fused — measured
+INTERLEAVED round-robin), conformer train + decode, and the END-TO-END
+sak-infer path (real wav files in a Kaldi dir -> final transcripts through
+the production CLI machinery) — each reported with achieved model TFLOP/s
+and MFU where FLOPs are the dominant term.
 
 Prints one JSON line per metric; the HEADLINE line (CTC train) is printed
 LAST:
   {"metric": "ctc_train_audio_s_per_s", "value": N, "unit": "audio_seconds/s/chip",
    "vs_baseline": N, "tflops": N, "mfu": N}
 
-Methodology: N_INNER train steps fused into ONE compiled program
-(lax.fori_loop — how a production TPU loop runs), timed over several calls
-with the loss VALUE fetched each call (device->host value fetch is the only
-sync that can't be absorbed by the async dispatch queue of the remote TPU
-runtime). vs_baseline compares against the reference stack's runnable
-equivalent on this host: HF Wav2Vec2ForCTC (torch CPU) fwd+bwd on the same
-shapes, measured once and cached in bench_baseline.json (the reference
-publishes no numbers — BASELINE.md).
+Methodology (hardened round 4 — the remote-TPU relay can wedge and recover
+on a ~minutes cycle, and a single wedged call poisons a single-shot
+measurement, VERDICT r3 weak #1):
+  * each metric times its calls INDIVIDUALLY and reports the MEDIAN rate;
+  * a tiny probe matmul runs between heavy sections; if the probe is slow
+    the harness waits for the relay to recover before measuring;
+  * the three CTC-beam modes share one setup and are measured interleaved
+    A/B/C round-robin, so a transient stall cannot make a strict-subset
+    program (lexicon-only) appear slower than its superset (lexicon+LM);
+  * timed calls fetch a VALUE (device->host) — the only true sync on this
+    async-dispatch runtime;
+  * N_INNER train steps are fused into ONE compiled program (lax.fori_loop).
+
+vs_baseline compares against the reference stack's runnable equivalent on
+this host: HF Wav2Vec2ForCTC (torch CPU) fwd+bwd on the same shapes,
+measured once and cached in bench_baseline.json (the reference publishes no
+numbers — BASELINE.md).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 from functools import partial
@@ -50,6 +63,36 @@ W_DEC_TOKENS = 64
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def probe_device(tag: str = "") -> float:
+    """Tiny matmul round trip; seconds. The canary for a wedged relay."""
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    x = jnp.full((128, 128), 1.0, jnp.bfloat16)
+    _ = float((x @ x).sum())
+    dt = time.perf_counter() - t0
+    log(f"probe[{tag}]: {dt*1000:.0f} ms")
+    return dt
+
+
+def ensure_healthy(tag: str, slow_s: float = 2.0, max_wait_s: float = 900.0):
+    """Block until the device answers a probe quickly (the relay recovers
+    on its own — CLAUDE.md); prevents a wedge from poisoning the next
+    section's numbers."""
+    waited = 0.0
+    while probe_device(tag) > slow_s:
+        if waited >= max_wait_s:
+            log(f"ensure_healthy[{tag}]: still slow after {waited:.0f}s — proceeding")
+            return
+        log(f"ensure_healthy[{tag}]: relay slow, waiting 30 s")
+        time.sleep(30.0)
+        waited += 30.0
+
+
+def median_rate(work_per_call: float, call_times) -> float:
+    return work_per_call / statistics.median(call_times)
 
 
 def _peak():
@@ -121,15 +164,15 @@ def bench_ctc_train(preset: str = "base", batch: int = None):
     loss0 = float(loss)
     assert np.isfinite(loss0) and loss0 > 0, f"degenerate warmup loss: {loss0}"
     log(f"ctc train[{preset}] warmup: loss={loss0:.4f}")
-    t0 = time.perf_counter()
+    times = []
     for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
         state, loss = train_n(state, batch)
         lv = float(loss)  # value fetch = true synchronization
-    dt = time.perf_counter() - t0
-    steps = N_INNER * TIMED_CALLS
-    log(f"ctc train[{preset}]: {steps} steps in {dt:.2f}s ({dt/steps*1000:.1f} ms/step), final loss={lv:.3f}")
+        times.append(time.perf_counter() - t0)
+    log(f"ctc train[{preset}]: per-call s {['%.2f' % t for t in times]}, final loss={lv:.3f}")
     assert np.isfinite(lv)
-    audio_s_per_s = B * SECONDS * steps / dt
+    audio_s_per_s = median_rate(B * SECONDS * N_INNER, times)
     flops_per_s = audio_s_per_s * wav2vec2_train_flops_per_audio_second(cfg)
     return audio_s_per_s, flops_per_s
 
@@ -170,70 +213,128 @@ def bench_whisper_lora_train():
     l0 = float(metrics["loss"])
     assert np.isfinite(l0), f"warmup loss {l0}"
     log(f"whisper lora train warmup: loss={l0:.3f}")
-    calls = 3
-    t0 = time.perf_counter()
-    for _ in range(calls):
+    times = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
         state, metrics = step(state, batch)
         lv = float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    log(f"whisper lora train: {dt/calls*1000:.0f} ms/step, loss={lv:.3f}")
-    audio_s_per_s = W_BATCH * window_s * calls / dt
+        times.append(time.perf_counter() - t0)
+    log(f"whisper lora train: per-call s {['%.2f' % t for t in times]}, loss={lv:.3f}")
+    audio_s_per_s = median_rate(W_BATCH * window_s, times)
     flops = whisper_train_flops_per_step(cfg, WhisperStepShape(W_BATCH, n_frames, W_TOKENS))
-    return audio_s_per_s, flops * calls / dt
+    return audio_s_per_s, flops * audio_s_per_s / (W_BATCH * window_s)
 
 
-def bench_whisper_decode(int8: bool = False):
+def bench_whisper_decode(bits: int = 0):
     """Whisper large-v3 batched greedy decode, 30 s windows.
 
-    int8=True: weight-only int8 kernels through the fused dequant-matmul
-    Pallas kernel (ops/int8_matmul — streams 1 byte/param from HBM inside
-    the token scan) + int8 cross-attention K/V and int8 self-cache
-    (cfg.kv_int8, layers.decode_attention_int8) — the --load_in_8bit
-    decode path (reference whisper_train.py:374 bitsandbytes capability).
-    Measured (PERF.md "int8 decode"): at matched batch the decode is
-    per-step-latency-bound so int8 bytes are roughly neutral; int8's real
-    win is MEMORY — the halved weights+KV fit TWICE the batch (48 vs 24),
-    which is what this line runs."""
+    bits=8: weight-only int8 through the fused dequant-matmul Pallas kernel
+    (ops/int8_matmul) + int8 KV caches (cfg.kv_int8) — the --load_in_8bit
+    path. Measured (PERF.md "int8 decode"): latency-bound at matched batch;
+    int8's real win is MEMORY — halved weights+KV fit B=40 vs 24.
+    bits=4: blockwise int4 weights (models/quant q4) — the --load_in_4bit
+    path; ~0.8 GB weights. The q4 kernels dequantize inside the program
+    (XLA), so the capacity headroom is measured, not assumed: the batch
+    ladder tries B=64 down to 24 and reports the largest that fits."""
     import jax
     import jax.numpy as jnp
 
     from ssak_tpu.models import whisper
     from ssak_tpu.utils.flops import whisper_decode_flops_per_window
 
-    cfg = whisper.make_config("large-v3", kv_int8=int8)
+    cfg = whisper.make_config("large-v3", kv_int8=(bits in (8, 4)))
     params = whisper.init_params(jax.random.PRNGKey(0), cfg)
-    B = W_DEC_BATCH
-    if int8:
+    if bits:
         from ssak_tpu.models.quant import quantize_params
 
-        params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=8))
-        B = 40  # halved weight+KV HBM -> ~2x the windows (48 leaves <200 MB slack; 40 is the safe production batch)
+        params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=bits))
+        # halved (int8) / quartered (int4) weight HBM -> more windows.
+        # int8 B=40 measured safe (48 leaves <200 MB slack); int4 ladder
+        # starts at 64 (capacity extrapolation, verified by fitting).
+        batch_ladder = [40] if bits == 8 else [64, 48, 32, 24]
     else:
         # load-time decoder qkv fusion (2 fewer launches per self-attn
         # site); quantized kernels skip it inside fuse_qkv_params
         params = whisper.fuse_decode_qkv(
             jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
         )
+        batch_ladder = [W_DEC_BATCH]
+    rng = np.random.RandomState(0)
+    n_frames = cfg.n_audio_ctx * 2
+    window_s = n_frames * 160 / SR
+    prompt = [cfg.sot, cfg.no_timestamps]
+
+    fn = jax.jit(lambda p, m: whisper.greedy_decode(p, m, cfg, prompt, max_tokens=W_DEC_TOKENS))
+    B = None
+    for try_b in batch_ladder:
+        mel = jnp.asarray(rng.randn(try_b, cfg.n_mels, n_frames).astype(np.float32) * 0.1)
+        try:
+            toks, lens = fn(params, mel)
+            int(np.asarray(lens)[0])
+            B = try_b
+            break
+        except Exception as e:  # OOM at this batch: step down the ladder
+            log(f"whisper decode[bits={bits}] B={try_b} failed: {type(e).__name__}")
+            continue
+    assert B is not None, "no batch size fit"
+    times = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
+        toks, lens = fn(params, mel)
+        _ = int(np.asarray(lens).sum())  # sync
+        times.append(time.perf_counter() - t0)
+    tag = {0: "bf16", 8: "int8", 4: "int4"}[bits]
+    log(f"whisper decode[{tag}]: B={B}, per-call s {['%.2f' % t for t in times]}")
+    audio_s_per_s = median_rate(B * window_s, times)
+    flops = B * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
+    return audio_s_per_s, flops * audio_s_per_s / (B * window_s)
+
+
+def bench_whisper_accurate():
+    """The --accurate preset chain on large-v3 dims: beam-5 decode at T=0
+    plus best_of-5 sampled retry for rows failing the quality gates — the
+    configuration the reference ships for quality-first transcription
+    (whisper_infer.py --accurate). Random weights fail the avg-logprob gate
+    at T=0, so every timed call measures beam5(full batch) + best_of5
+    sampling(pending rows): the WORST-case two-stage cost. Two temperatures
+    keep the program count at 2 (each (T, best_of) signature is a separate
+    multi-minute large-v3 compile on this runtime)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssak_tpu.infer.general import LoadedModel, ModelType
+    from ssak_tpu.infer.whisper_infer import transcribe_with_fallback
+    from ssak_tpu.models import whisper
+
+    cfg = whisper.make_config("large-v3")
+    params = whisper.fuse_decode_qkv(
+        jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), whisper.init_params(jax.random.PRNGKey(0), cfg)
+        )
+    )
+    model = LoadedModel(ModelType.WHISPER, params, cfg, None)
+    B = 8  # beam 5 multiplies decode state 5x; 8x5 rows ~ the bf16 B=40 envelope
     rng = np.random.RandomState(0)
     n_frames = cfg.n_audio_ctx * 2
     window_s = n_frames * 160 / SR
     mel = jnp.asarray(rng.randn(B, cfg.n_mels, n_frames).astype(np.float32) * 0.1)
     prompt = [cfg.sot, cfg.no_timestamps]
 
-    fn = jax.jit(lambda p, m: whisper.greedy_decode(p, m, cfg, prompt, max_tokens=W_DEC_TOKENS))
-    toks, lens = fn(params, mel)
-    int(np.asarray(lens)[0])
-    calls = 3
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        toks, lens = fn(params, mel)
-    _ = int(np.asarray(lens).sum())  # sync
-    dt = time.perf_counter() - t0
-    tag = "int8" if int8 else "bf16"
-    log(f"whisper decode[{tag}]: {dt/calls*1000:.0f} ms/batch of {B}x{window_s:.0f}s")
-    audio_s_per_s = B * window_s * calls / dt
-    flops = B * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
-    return audio_s_per_s, flops * calls / dt
+    def run_once():
+        return transcribe_with_fallback(
+            model, mel, prompt, max_tokens=W_DEC_TOKENS, beam_size=5, best_of=5,
+            temperatures=(0.0, 0.2),
+        )
+
+    texts = run_once()  # compile both stages + warmup
+    assert len(texts) == B
+    times = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
+        texts = run_once()
+        times.append(time.perf_counter() - t0)
+    log(f"whisper accurate: B={B}, per-call s {['%.2f' % t for t in times]}")
+    return median_rate(B * window_s, times), None
 
 
 def _synthetic_lexicon_lm(n_words=12000, order=3):
@@ -256,7 +357,7 @@ def _synthetic_lexicon_lm(n_words=12000, order=3):
     trans, accept = lex.device_tables(vocab, word_delimiter="|")
     tables = (trans, accept, lex.node_word_ids())
     wlm = word_lm_device_tables(lm, lex.word_list())
-    return tables, wlm
+    return words, lm, tables, wlm
 
 
 # decode-only batch: inference has no optimizer-state HBM pressure, so the
@@ -264,17 +365,21 @@ def _synthetic_lexicon_lm(n_words=12000, order=3):
 # amortizes the beam scan's per-frame fixed costs 3x better than the train
 # batch of 32 (measured: 777 -> 1646 audio-s/s synchronous)
 DEC_BATCH = 96
+BEAM_ROUNDS = 3
+BEAM_CALLS_PER_ROUND = 2
 
 
-def bench_ctc_beam_decode(mode: str = "plain"):
-    """wav2vec2-base forward + on-device CTC beam search (beam 16).
-    mode: plain | lexicon (trie-constrained) | wordlm (lexicon + on-device
-    word n-gram fusion — the configuration word-LM users actually run).
+def bench_ctc_beam_all():
+    """wav2vec2-base forward + on-device CTC beam search (beam 16), three
+    modes measured INTERLEAVED round-robin — plain, lexicon-constrained,
+    lexicon+word-LM — so a relay stall hits all modes equally and a strict
+    subset can never report slower than its superset (the r3 anomaly:
+    lexicon-only 'measured' 1.75x slower than lexicon+LM in a single-shot
+    run). Median over rounds per mode.
 
-    PIPELINED like production decoding: all batches' encoder+beam programs
-    are enqueued before any host fetch (return_async), so the device never
-    drains on the host round trip; .result() then fetches + backtraces
-    every batch (a true synchronization)."""
+    PIPELINED like production decoding: each measurement enqueues
+    BEAM_CALLS_PER_ROUND encoder+beam programs before any host fetch
+    (return_async), then resolves them all (fetch + backtrace = sync)."""
     import jax
     import jax.numpy as jnp
 
@@ -289,31 +394,108 @@ def bench_ctc_beam_decode(mode: str = "plain"):
     audio = jnp.asarray(rng.randn(DEC_BATCH, T).astype(np.float32) * 0.1)
     lens = jnp.full((DEC_BATCH,), T, jnp.int32)
 
-    kw = {}
-    if mode in ("lexicon", "wordlm"):
-        tables, wlm = _synthetic_lexicon_lm()
-        kw["lexicon_tables"] = tables
-        if mode == "wordlm":
-            kw["word_lm"] = wlm
+    _w, _lm, tables, wlm = _synthetic_lexicon_lm()
+    mode_kw = {
+        "plain": {},
+        "lexicon": {"lexicon_tables": tables},
+        "wordlm": {"lexicon_tables": tables, "word_lm": wlm},
+    }
 
     @jax.jit
     def logits_fn(params, audio, lens):
         return wav2vec2.ctc_log_probs(params, audio, cfg, lens)
 
     lp, fl = logits_fn(params, audio, lens)
-    ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)  # warm
-    calls = 4
-    t0 = time.perf_counter()
-    handles = []
-    for _ in range(calls):
-        lp, fl = logits_fn(params, audio, lens)
-        handles.append(ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, return_async=True, **kw))
-    done = [h.result() for h in handles]  # fetch + backtrace = full sync
-    dt = time.perf_counter() - t0
-    assert all(int(tl.sum()) >= 0 for _t, tl in done)
-    log(f"ctc beam16 decode[{mode}]: {dt/calls*1000:.0f} ms/batch of {DEC_BATCH}x{SECONDS}s")
-    audio_s_per_s = DEC_BATCH * SECONDS * calls / dt
-    return audio_s_per_s, audio_s_per_s * ctc_decode_flops_per_audio_second(cfg)
+    for m, kw in mode_kw.items():  # compile + table upload per mode
+        ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)
+        log(f"ctc beam[{m}] warmed")
+    times = {m: [] for m in mode_kw}
+    for rnd in range(BEAM_ROUNDS):
+        for m, kw in mode_kw.items():
+            t0 = time.perf_counter()
+            handles = []
+            for _ in range(BEAM_CALLS_PER_ROUND):
+                lp, fl = logits_fn(params, audio, lens)
+                handles.append(ctc_beam_search_device(
+                    lp, fl, beam_width=16, blank_id=cfg.blank_id, return_async=True, **kw))
+            done = [h.result() for h in handles]  # fetch + backtrace = full sync
+            dt = (time.perf_counter() - t0) / BEAM_CALLS_PER_ROUND
+            assert all(int(tl.sum()) >= 0 for _t, tl in done)
+            times[m].append(dt)
+            log(f"ctc beam16[{m}] round {rnd}: {dt*1000:.0f} ms/batch of {DEC_BATCH}x{SECONDS}s")
+    out = {}
+    for m in mode_kw:
+        rate = median_rate(DEC_BATCH * SECONDS, times[m])
+        out[m] = (rate, rate * ctc_decode_flops_per_audio_second(cfg))
+    return out
+
+
+def bench_sak_infer_e2e():
+    """END-TO-END production decode: real wav files in a Kaldi dir ->
+    final transcripts through ctc_infer (the sak-infer machinery) — file
+    read, resample, auto batch packing, prefetch, encoder, on-device
+    word-LM beam, backtrace, tokenizer decode, everything (VERDICT r3 next
+    #1; reference corpus decode transformers_infer.py:14 + dataset.py:647).
+    wav2vec2-base dims via the seeded-model hook; 12k-word lexicon +
+    order-3 ARPA from files, exactly as a user passes them. First pass
+    warms the compile caches (production corpora dwarf compile time);
+    second pass is timed."""
+    import shutil
+    import tempfile
+
+    from ssak_tpu.audio.io import save_audio
+    from ssak_tpu.decode.lm import train_ngram_lm, write_arpa
+    from ssak_tpu.infer.ctc_infer import ctc_infer
+
+    tmp = tempfile.mkdtemp(prefix="ssak_e2e_")
+    try:
+        rng = np.random.RandomState(0)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        words = sorted({
+            "".join(alphabet[i] for i in rng.randint(0, 26, rng.randint(3, 11)))
+            for _ in range(12000)
+        })
+        lex_path = os.path.join(tmp, "lexicon.txt")
+        with open(lex_path, "w") as f:
+            f.write("\n".join(words) + "\n")
+        lm = train_ngram_lm([" ".join(rng.choice(words, size=8)) for _ in range(2000)], order=3)
+        arpa_path = os.path.join(tmp, "lm.arpa")
+        write_arpa(lm, arpa_path)
+
+        wav_dir = os.path.join(tmp, "wavs")
+        os.makedirs(wav_dir)
+        kal = os.path.join(tmp, "kaldi")
+        os.makedirs(kal)
+        n_files, total_s = 192, 0.0
+        with open(os.path.join(kal, "wav.scp"), "w") as scp:
+            for i in range(n_files):
+                dur = float(rng.uniform(6.0, 10.0))
+                total_s += dur
+                a = (rng.randn(int(dur * SR)) * 0.1).astype(np.float32)
+                p = os.path.join(wav_dir, f"utt{i:04d}.wav")
+                save_audio(p, a, sample_rate=SR)
+                scp.write(f"utt{i:04d} {p}\n")
+
+        def run():
+            return list(ctc_infer(
+                None, kal, seeded_test_config="wav2vec2:base", output_ids=True,
+                beam_width=16, lm_path=arpa_path, lexicon_path=lex_path,
+            ))
+
+        t0 = time.perf_counter()
+        out = run()  # warm pass: compiles + device table upload
+        log(f"sak-infer e2e warm pass: {len(out)} utts in {time.perf_counter()-t0:.1f}s")
+        assert len(out) == n_files
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run()
+            times.append(time.perf_counter() - t0)
+        log(f"sak-infer e2e: {total_s:.0f} audio-s, per-pass s {['%.2f' % t for t in times]}")
+        assert len(out) == n_files
+        return median_rate(total_s, times), None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_conformer_train():
@@ -366,15 +548,56 @@ def bench_conformer_train():
     l0 = float(loss)
     assert np.isfinite(l0) and l0 > 0, l0
     log(f"conformer train warmup: loss={l0:.4f}")
-    t0 = time.perf_counter()
+    times = []
     for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
         state, loss = train_n(state, batch)
         lv = float(loss)
-    dt = time.perf_counter() - t0
-    steps = N_INNER * TIMED_CALLS
-    log(f"conformer train: {dt/steps*1000:.1f} ms/step, final loss={lv:.3f}")
-    audio_s_per_s = BATCH * SECONDS * steps / dt
+        times.append(time.perf_counter() - t0)
+    log(f"conformer train: per-call s {['%.2f' % t for t in times]}, final loss={lv:.3f}")
+    audio_s_per_s = median_rate(BATCH * SECONDS * N_INNER, times)
     return audio_s_per_s, audio_s_per_s * conformer_train_flops_per_audio_second(cfg)
+
+
+def bench_conformer_decode():
+    """Conformer-large encoder + on-device beam-16 decode — the third model
+    family's INFERENCE line (VERDICT r3 next #7; the reference decodes
+    nemo conformer greedy_batch). Shares the CTC beam engine; pipelined
+    with return_async like the wav2vec2 line."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
+    from ssak_tpu.models import conformer
+    from ssak_tpu.utils.flops import conformer_train_flops_per_audio_second
+
+    cfg = conformer.make_config("large", vocab_size=128)
+    params = conformer.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    T = SECONDS * SR
+    audio = jnp.asarray(rng.randn(DEC_BATCH, T).astype(np.float32) * 0.1)
+    lens = jnp.full((DEC_BATCH,), T, jnp.int32)
+
+    @jax.jit
+    def logits_fn(params, audio, lens):
+        return conformer.ctc_log_probs(params, audio, cfg, lens)
+
+    lp, fl = logits_fn(params, audio, lens)
+    ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id)  # warm
+    times = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
+        handles = []
+        for _ in range(BEAM_CALLS_PER_ROUND):
+            lp, fl = logits_fn(params, audio, lens)
+            handles.append(ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, return_async=True))
+        done = [h.result() for h in handles]
+        assert all(int(tl.sum()) >= 0 for _t, tl in done)
+        times.append((time.perf_counter() - t0) / BEAM_CALLS_PER_ROUND)
+    log(f"conformer beam16 decode: per-batch s {['%.2f' % t for t in times]}")
+    audio_s_per_s = median_rate(DEC_BATCH * SECONDS, times)
+    # decode = encoder forward only (~1/3 of the train FLOPs per audio-s)
+    return audio_s_per_s, audio_s_per_s * conformer_train_flops_per_audio_second(cfg) / 3.0
 
 
 def bench_torch_cpu_baseline():
@@ -419,22 +642,45 @@ def main():
 
     log(f"jax devices: {jax.devices()}")
     lines = []
-    for name, fn, metric in (
-        ("whisper_lora_train", bench_whisper_lora_train, "whisper_large3_lora_train_audio_s_per_s"),
-        ("whisper_decode", bench_whisper_decode, "whisper_large3_greedy_decode_audio_s_per_s"),
-        ("whisper_int8_decode", partial(bench_whisper_decode, int8=True), "whisper_large3_int8_decode_audio_s_per_s"),
-        ("ctc_beam_decode", bench_ctc_beam_decode, "ctc_beam16_decode_audio_s_per_s"),
-        ("ctc_beam_lexicon", partial(bench_ctc_beam_decode, mode="lexicon"), "ctc_beam16_lexicon_decode_audio_s_per_s"),
-        ("ctc_beam_wordlm", partial(bench_ctc_beam_decode, mode="wordlm"), "ctc_beam16_wordlm_decode_audio_s_per_s"),
-        ("ctc_train_large", partial(bench_ctc_train, preset="large", batch=16), "ctc_train_large_audio_s_per_s"),
-        ("conformer_train", bench_conformer_train, "conformer_train_audio_s_per_s"),
-    ):
+
+    def run_section(name, fn, metric):
+        ensure_healthy(name)
         try:
             value, flops_per_s = fn()
             lines.append(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
         except Exception as e:
             log(f"{name} failed: {type(e).__name__}: {e}")
 
+    for name, fn, metric in (
+        ("whisper_lora_train", bench_whisper_lora_train, "whisper_large3_lora_train_audio_s_per_s"),
+        ("whisper_decode", bench_whisper_decode, "whisper_large3_greedy_decode_audio_s_per_s"),
+        ("whisper_int8_decode", partial(bench_whisper_decode, bits=8), "whisper_large3_int8_decode_audio_s_per_s"),
+        ("whisper_int4_decode", partial(bench_whisper_decode, bits=4), "whisper_large3_int4_decode_audio_s_per_s"),
+        ("whisper_accurate", bench_whisper_accurate, "whisper_large3_accurate_decode_audio_s_per_s"),
+    ):
+        run_section(name, fn, metric)
+
+    # CTC beam trio: one setup, interleaved measurement
+    ensure_healthy("ctc_beam_all")
+    try:
+        beam = bench_ctc_beam_all()
+        for m, metric in (("plain", "ctc_beam16_decode_audio_s_per_s"),
+                          ("lexicon", "ctc_beam16_lexicon_decode_audio_s_per_s"),
+                          ("wordlm", "ctc_beam16_wordlm_decode_audio_s_per_s")):
+            value, flops_per_s = beam[m]
+            lines.append(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
+    except Exception as e:
+        log(f"ctc_beam_all failed: {type(e).__name__}: {e}")
+
+    for name, fn, metric in (
+        ("sak_infer_e2e", bench_sak_infer_e2e, "sak_infer_e2e_audio_s_per_s"),
+        ("conformer_decode", bench_conformer_decode, "conformer_beam16_decode_audio_s_per_s"),
+        ("ctc_train_large", partial(bench_ctc_train, preset="large", batch=16), "ctc_train_large_audio_s_per_s"),
+        ("conformer_train", bench_conformer_train, "conformer_train_audio_s_per_s"),
+    ):
+        run_section(name, fn, metric)
+
+    ensure_healthy("ctc_train_headline")
     value, flops_per_s = bench_ctc_train()
     try:
         baseline = bench_torch_cpu_baseline()

@@ -81,6 +81,12 @@ class HostBeamPool:
         length-trimmed). Returns list of transcripts, order-preserving."""
         return self.pool.map(_decode_one, log_probs_list, chunksize=1)
 
+    def decode_async(self, log_probs_list):
+        """Non-blocking decode: returns a handle whose .get() yields the
+        transcripts. Lets the caller enqueue the NEXT batch's device work
+        while the workers chew on this one (ctc_infer's batch pipeline)."""
+        return self.pool.map_async(_decode_one, log_probs_list, chunksize=1)
+
     def close(self):
         self.pool.close()
         self.pool.join()

@@ -82,12 +82,14 @@ def load_model(model_dir: str, seeded_test_config: str = None, quantize_bits: in
         model.params = jax.tree_util.tree_map(
             _jnp.asarray, quantize_params(model.params, bits=quantize_bits)
         )
-        if quantize_bits == 8 and model.type == ModelType.WHISPER:
-            # int8 KV caches ride along with int8 weights: autoregressive
-            # decode re-reads the full cross-attention K/V every token step
-            # (the dominant HBM term at large-v3 — PERF.md), so the
-            # --load_in_8bit capability halves those bytes too
-            # (layers.decode_attention_int8 / self_attention_int8)
+        if quantize_bits in (8, 4) and model.type == ModelType.WHISPER:
+            # int8 KV caches ride along with int8/int4 weights:
+            # autoregressive decode re-reads the full cross-attention K/V
+            # every token step (the dominant HBM term at large-v3 —
+            # PERF.md), so the --load_in_8bit/4bit capabilities halve
+            # those bytes too (layers.decode_attention_int8); at int4
+            # weights the KV bytes are what bound the batch, so this is
+            # where the extra capacity actually comes from
             import dataclasses
 
             model.cfg = dataclasses.replace(model.cfg, kv_int8=True)
@@ -135,19 +137,27 @@ def _load_model(model_dir: str, seeded_test_config: str = None) -> LoadedModel:
 
 
 def _seeded_model(kind: str) -> LoadedModel:
-    if kind.startswith("whisper"):
+    """Random-but-deterministic model for offline tests/benches. kind is
+    'whisper' or 'wav2vec2', optionally with a ':preset' suffix (e.g.
+    'wav2vec2:base') so perf harnesses can drive PRODUCTION dims through
+    the exact CLI code path."""
+    family, _, preset = kind.partition(":")
+    if family.startswith("whisper"):
         from ssak_tpu.models import whisper
 
-        cfg = whisper.make_config("tiny_test")
+        cfg = whisper.make_config(preset or "tiny_test")
         params = whisper.init_params(jax.random.PRNGKey(0), cfg)
         return LoadedModel(ModelType.WHISPER, params, cfg, None)
     from ssak_tpu.models import wav2vec2
     from ssak_tpu.models.tokenizer import CTCTokenizer
 
-    cfg = wav2vec2.make_config("tiny_test")
+    if preset:
+        cfg = wav2vec2.make_config(preset, vocab_size=48)
+    else:
+        cfg = wav2vec2.make_config("tiny_test")
     params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
     vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
-    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz'-éèàùâêîôûç"[: cfg.vocab_size - 5]):
+    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz'-éèàùâêîôûç0123456789"[: cfg.vocab_size - 5]):
         vocab[c] = 5 + i
     return LoadedModel(ModelType.WAV2VEC2_CTC, params, cfg, CTCTokenizer(vocab))
 

@@ -54,7 +54,12 @@ def dense(x, params, dtype=None):
     w = params["kernel"]
     y = None
     if isinstance(w, dict):  # int8/int4 weight-only quantized (models.quant)
-        from ssak_tpu.ops.int8_matmul import int8_dense_supported, matmul_int8
+        from ssak_tpu.ops.int8_matmul import (
+            int4_dense_supported,
+            int8_dense_supported,
+            matmul_int4,
+            matmul_int8,
+        )
 
         if "q8" in w and int8_dense_supported(x, w["q8"]):
             # decode-shaped activation on TPU: fused dequant-matmul Pallas
@@ -64,6 +69,12 @@ def dense(x, params, dtype=None):
                 x = x.astype(dtype)
             xq = x.reshape(-1, x.shape[-1])
             y = matmul_int8(xq, w["q8"], w["scale"]).reshape(*x.shape[:-1], -1)
+        elif "q4" in w and int4_dense_supported(x, w["q4"]):
+            # int4 decode path: same streaming argument at 0.5 byte/param
+            if dtype is not None:
+                x = x.astype(dtype)
+            xq = x.reshape(-1, x.shape[-1])
+            y = matmul_int4(xq, w["q4"], w["scale"]).reshape(*x.shape[:-1], -1)
         else:
             from ssak_tpu.models.quant import dequantize_kernel
 

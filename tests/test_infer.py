@@ -130,8 +130,12 @@ def test_ctc_infer_routes_word_lm_to_device(reference_data_dir, tmp_path, monkey
     lexfile = tmp_path / "lex.txt"
     lexfile.write_text("\n".join(words), encoding="utf-8")
 
+    # spy at the decode-engine boundary (the pipelined ctc_infer imports
+    # these at call time from decode.ctc_beam)
+    import ssak_tpu.decode.ctc_beam as cb
+
     calls = {"device": 0, "host": 0}
-    orig_dev, orig_host = ci.ctc_decode_beam_device, ci.ctc_decode_with_lm
+    orig_dev, orig_host = cb.ctc_beam_search_device, cb.ctc_prefix_beam_search
 
     def spy_dev(*a, **k):
         calls["device"] += 1
@@ -142,8 +146,8 @@ def test_ctc_infer_routes_word_lm_to_device(reference_data_dir, tmp_path, monkey
         calls["host"] += 1
         return orig_host(*a, **k)
 
-    monkeypatch.setattr(ci, "ctc_decode_beam_device", spy_dev)
-    monkeypatch.setattr(ci, "ctc_decode_with_lm", spy_host)
+    monkeypatch.setattr(cb, "ctc_beam_search_device", spy_dev)
+    monkeypatch.setattr(cb, "ctc_prefix_beam_search", spy_host)
     wav = os.path.join(reference_data_dir, "audio", "bonjour.wav")
     [t] = list(ci.ctc_infer(
         None, wav, seeded_test_config="wav2vec2",
@@ -152,6 +156,68 @@ def test_ctc_infer_routes_word_lm_to_device(reference_data_dir, tmp_path, monkey
     assert calls["device"] == 1 and calls["host"] == 0
     for w in t.split():
         assert w in words, t
+
+
+def test_auto_pack_batches_respects_budget_and_order():
+    """Samples-budget packing: padded device cost of every batch stays
+    under the budget, long utterances go out alone, order is preserved."""
+    from ssak_tpu.infer.ctc_infer import MAX_CHUNK_SAMPLES, _bucket_len, auto_pack_batches
+
+    rng = np.random.RandomState(0)
+    durs = [1.0, 9.5, 2.0, 0.5, 10.0, 150.0, 3.0, 29.0, 7.0] + [10.0] * 40
+    rows = [(np.zeros(int(d * 16000), np.float32), f"utt{i:03d}") for i, d in enumerate(durs)]
+    budget = 960 * 16000
+    out = list(auto_pack_batches(iter(rows), max_samples=budget, max_rows=96))
+    got_ids = [i for _b, ids in out for i in ids]
+    assert got_ids == [i for _a, i in rows]  # order preserved, nothing lost
+    for batch, ids in out:
+        longest = max(len(a) for a in batch)
+        if longest > MAX_CHUNK_SAMPLES:
+            assert len(batch) == 1  # chunked path utterances go alone
+        else:
+            assert len(batch) * _bucket_len(longest) <= budget
+    # sorted 10 s utterances pack to the bench-proven 96-row occupancy
+    rows10 = [(np.zeros(160000, np.float32), f"u{i}") for i in range(200)]
+    sizes = [len(b) for b, _ in auto_pack_batches(iter(rows10), max_samples=budget, max_rows=96)]
+    assert sizes == [96, 96, 8]
+
+
+def test_ctc_infer_auto_batch_matches_fixed(reference_data_dir, monkeypatch):
+    """batch_size=0 (auto packing + async pipelining + row padding) must
+    produce the same transcripts as fixed-size synchronous batching.
+
+    Inputs share one duration bucket: rows are independent through the
+    model (no cross-row ops), so any batch composition must agree as long
+    as the column padding (bucket) is identical. (Different buckets
+    legitimately shift feature-extractor group-norm stats — same as the
+    reference's HF padding behavior — so mixed-duration corpora are only
+    compared same-bucket.)"""
+    monkeypatch.setenv("DATAPATH", reference_data_dir)
+    from ssak_tpu.infer.ctc_infer import ctc_infer
+
+    rng = np.random.RandomState(7)
+    audios = [(rng.randn(int(s * 16000)) * 0.1).astype(np.float32) for s in (9.0, 9.5, 10.0, 8.7, 9.9, 9.2, 8.5)]
+    fixed = list(ctc_infer(None, audios, batch_size=2, seeded_test_config="wav2vec2"))
+    auto = list(ctc_infer(None, audios, batch_size=0, seeded_test_config="wav2vec2"))
+    assert auto == fixed and len(auto) == len(audios)
+    # and the auto path is deterministic over a real Kaldi dir
+    kal = os.path.join(reference_data_dir, "kaldi", "minimal")
+    a1 = dict(ctc_infer(None, kal, batch_size=0, output_ids=True, seeded_test_config="wav2vec2"))
+    a2 = dict(ctc_infer(None, kal, batch_size=0, output_ids=True, seeded_test_config="wav2vec2"))
+    assert a1 == a2 and "toy_bonjour" in a1
+
+
+def test_ctc_infer_pipelined_beam_deterministic(reference_data_dir, monkeypatch):
+    """The async-pipelined device-beam route yields identical results to a
+    second run (and slices padded rows off)."""
+    monkeypatch.setenv("DATAPATH", reference_data_dir)
+    from ssak_tpu.infer.ctc_infer import ctc_infer
+
+    kal = os.path.join(reference_data_dir, "kaldi", "minimal")
+    a = dict(ctc_infer(None, kal, output_ids=True, seeded_test_config="wav2vec2", beam_width=4))
+    b = dict(ctc_infer(None, kal, output_ids=True, seeded_test_config="wav2vec2", beam_width=4))
+    assert a == b and len(a) >= 2
+    assert all(isinstance(t, str) for t in a.values())
 
 
 def test_whisper_batch_routes_longform_batched(monkeypatch):

@@ -62,3 +62,23 @@ def test_int8_matmul_interpret_parity():
         ref = jnp.matmul(jnp.asarray(x).astype(jnp.bfloat16), wq, preferred_element_type=jnp.float32)
         err = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
         assert err < 2e-2, ((M, K, N), err)
+
+
+def test_int4_matmul_interpret_parity():
+    """Fused int4 unpack-dequantize-matmul (ops.int8_matmul.matmul_int4) vs
+    the XLA dequantize_kernel path: identical blockwise-scale semantics,
+    including M padding and an uneven final N block."""
+    from ssak_tpu.models.quant import dequantize_kernel, quantize_kernel
+    from ssak_tpu.ops.int8_matmul import matmul_int4
+
+    rng = np.random.RandomState(1)
+    for (M, K, N) in [(24, 256, 256), (4, 1280, 640), (17, 512, 300)]:
+        w = rng.randn(K, N).astype(np.float32) * 0.05
+        qd = quantize_kernel(w, bits=4)
+        assert "q4" in qd, (K, N)
+        x = (rng.randn(M, K) * 0.3).astype(np.float32)
+        y = matmul_int4(jnp.asarray(x), jnp.asarray(qd["q4"]), jnp.asarray(qd["scale"]), interpret=True)
+        wq = dequantize_kernel({k: jnp.asarray(v) for k, v in qd.items()}, jnp.bfloat16)
+        ref = jnp.matmul(jnp.asarray(x).astype(jnp.bfloat16), wq, preferred_element_type=jnp.float32)
+        err = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 2e-2, ((M, K, N), err)

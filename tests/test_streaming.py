@@ -154,3 +154,50 @@ def test_protocol_schema_golden(model, reference_data_dir):
     assert isinstance(final, dict) and set(final.keys()) == {schema["final_reply"]["key"]}
     assert isinstance(final["text"], str)
     assert closed_ok, "server must close the connection after the final text"
+
+
+def test_streaming_chunk_to_partial_latency(model):
+    """Loopback latency (VERDICT r3 next #8): time from each binary chunk
+    send to its {"partial"} reply, through the real websocket server.
+    Chunks that complete a decode block pay the model forward; the others
+    are protocol-only. Reports median/max to stdout (PERF.md carries the
+    real-chip numbers at production dims) and pins a sanity bound."""
+    import json
+    import time
+
+    import websockets  # noqa: F401 (skip below if absent)
+
+    from ssak_tpu.infer.streaming import serve_streaming
+
+    async def run():
+        import websockets
+
+        server = await serve_streaming(model, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        lat = []
+        try:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send(json.dumps({"config": {"sample_rate": 16000}}))
+                rng = np.random.RandomState(0)
+                pcm = (np.clip(rng.randn(16000) * 0.1, -1, 1) * 32767).astype("<i2").tobytes()
+                for _ in range(8):  # 8 x 1 s chunks -> ~3 decoded blocks
+                    t0 = time.perf_counter()
+                    await ws.send(pcm)
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=30.0))
+                    lat.append(time.perf_counter() - t0)
+                    assert "partial" in msg
+                await ws.send(json.dumps({"eof": 1}))
+                final = json.loads(await asyncio.wait_for(ws.recv(), timeout=30.0))
+        finally:
+            server.close()
+            await server.wait_closed()
+        return lat, final
+
+    lat, final = asyncio.run(run())
+    assert "text" in final
+    s = sorted(lat)
+    print(f"\nstreaming chunk->partial latency: median {s[len(s)//2]*1000:.1f} ms, "
+          f"max {s[-1]*1000:.1f} ms over {len(lat)} chunks")
+    # generous CPU-tiny-model bound: decode-block chunks include a jitted
+    # forward; anything near this bound means the pipeline is broken
+    assert s[len(s) // 2] < 5.0
