@@ -248,10 +248,14 @@ def bench_whisper_decode(bits: int = 0):
         from ssak_tpu.models.quant import quantize_params
 
         params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=bits))
-        # halved (int8) / quartered (int4) weight HBM -> more windows.
-        # int8 B=40 measured safe (48 leaves <200 MB slack); int4 ladder
-        # starts at 64 (capacity extrapolation, verified by fitting).
-        batch_ladder = [40] if bits == 8 else [64, 48, 32, 24]
+        # halved (int8) weight HBM -> 2x windows: B=40 measured safe (48
+        # leaves <200 MB slack). int4 is pinned at B=32: B=64/48 CRASH the
+        # remote compile helper (tpu_compile_helper exit 1 after ~6 min)
+        # and B=40 hangs its compile >10 min — measured r4, PERF.md "int4
+        # decode"; the capacity extrapolation does not survive contact with
+        # this runtime's compiler, so int4's win is weight FOOTPRINT
+        # (0.9 GB vs 1.6), not throughput.
+        batch_ladder = [40] if bits == 8 else [32]
     else:
         # load-time decoder qkv fusion (2 fewer launches per self-attn
         # site); quantized kernels skip it inside fuse_qkv_params
@@ -313,7 +317,11 @@ def bench_whisper_accurate():
         )
     )
     model = LoadedModel(ModelType.WHISPER, params, cfg, None)
-    B = 8  # beam 5 multiplies decode state 5x; 8x5 rows ~ the bf16 B=40 envelope
+    # beam 5 multiplies decode state 5x; the remote compile helper crashes
+    # on large-v3 beam programs past ~20 effective rows (B=8 x beam5 died,
+    # B=4 x beam5 compiles in ~2 min — measured r4, PERF.md), so B=4 is the
+    # largest --accurate batch this runtime can own
+    B = 4
     rng = np.random.RandomState(0)
     n_frames = cfg.n_audio_ctx * 2
     window_s = n_frames * 160 / SR
@@ -466,7 +474,10 @@ def bench_sak_infer_e2e():
         os.makedirs(wav_dir)
         kal = os.path.join(tmp, "kaldi")
         os.makedirs(kal)
-        n_files, total_s = 192, 0.0
+        # 768 = 8 exact full auto-packed batches of 96: per-pass fixed cost
+        # (model init + trie/hash-table build, ~4 s) amortizes the way a
+        # real corpus does, and the timed pass compiles nothing new
+        n_files, total_s, paths = 768, 0.0, []
         with open(os.path.join(kal, "wav.scp"), "w") as scp:
             for i in range(n_files):
                 dur = float(rng.uniform(6.0, 10.0))
@@ -474,23 +485,32 @@ def bench_sak_infer_e2e():
                 a = (rng.randn(int(dur * SR)) * 0.1).astype(np.float32)
                 p = os.path.join(wav_dir, f"utt{i:04d}.wav")
                 save_audio(p, a, sample_rate=SR)
+                paths.append(p)
                 scp.write(f"utt{i:04d} {p}\n")
 
-        def run():
-            return list(ctc_infer(
-                None, kal, seeded_test_config="wav2vec2:base", output_ids=True,
+        def run(source):
+            gen = ctc_infer(
+                None, source, seeded_test_config="wav2vec2:base", output_ids=True,
                 beam_width=16, lm_path=arpa_path, lexicon_path=lex_path,
-            ))
+            )
+            t0 = time.perf_counter()
+            first = next(gen)
+            t_first = time.perf_counter() - t0
+            rest = list(gen)
+            return [first] + rest, t_first
 
         t0 = time.perf_counter()
-        out = run()  # warm pass: compiles + device table upload
+        out, _tf = run(paths[:96])  # warm: compiles + device table upload
         log(f"sak-infer e2e warm pass: {len(out)} utts in {time.perf_counter()-t0:.1f}s")
-        assert len(out) == n_files
+        assert len(out) == 96
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
-            out = run()
-            times.append(time.perf_counter() - t0)
+            out, t_first = run(kal)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            log(f"sak-infer e2e pass: {dt:.2f}s total, {t_first:.2f}s to first transcript "
+                f"(setup + batch 1), {(total_s - total_s/8)/(dt - t_first):.0f} audio-s/s steady-state")
         log(f"sak-infer e2e: {total_s:.0f} audio-s, per-pass s {['%.2f' % t for t in times]}")
         assert len(out) == n_files
         return median_rate(total_s, times), None

@@ -287,6 +287,7 @@ def to_audio_batches(
     return_format: str = "array",
     output_ids: bool = False,
     sort_by_len: bool = False,
+    io_threads: int = 0,
 ):
     """Universal input adapter: yields batches (lists) of audio arrays.
 
@@ -294,6 +295,10 @@ def to_audio_batches(
     audio file (optionally with ':start-end' windows), a np.ndarray, or a
     list of ndarrays.  With output_ids=True, yields (audio, id) pairs.
     Matches reference dataset.py:647-826 semantics.
+
+    io_threads>1 decodes/resamples files in an ordered thread pool
+    (prefetch.prefetch_map) — the corpus-decode pipeline is otherwise
+    ingest-bound on small hosts (PERF.md "sak-infer end-to-end").
     """
     from ssak_tpu.audio import load_audio
 
@@ -342,12 +347,20 @@ def to_audio_batches(
         else:
             raise FileNotFoundError(path)
 
-    batch, ids = [], []
-    for row in gen_rows():
+    def _load_row(row):
         if "array" in row:
-            audio = np.asarray(row["array"], dtype=np.float32)
-        else:
-            audio = load_audio(row["audio"], start=row.get("start"), end=row.get("end"), sample_rate=sample_rate, mono=mono)
+            return row, np.asarray(row["array"], dtype=np.float32)
+        return row, load_audio(row["audio"], start=row.get("start"), end=row.get("end"), sample_rate=sample_rate, mono=mono)
+
+    if io_threads and io_threads > 1:
+        from ssak_tpu.data.prefetch import prefetch_map
+
+        loaded = prefetch_map(_load_row, gen_rows(), workers=io_threads, depth=4 * io_threads)
+    else:
+        loaded = map(_load_row, gen_rows())
+
+    batch, ids = [], []
+    for row, audio in loaded:
         if return_format == "bytes":
             from ssak_tpu.audio import array_to_bytes
 

@@ -17,6 +17,29 @@ import threading
 _END = object()
 
 
+def prefetch_map(fn, items, workers: int = 2, depth: int = 8):
+    """Ordered threaded map with a bounded in-flight window: yields
+    fn(item) in input order while `workers` threads compute ahead (up to
+    `depth` outstanding). The audio-ingest parallelizer: file decode +
+    resample releases the GIL in C (wav np.frombuffer, mpg123, polyphase),
+    so 2 threads roughly double files/s on this 2-CPU host."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import collections
+
+    ex = ThreadPoolExecutor(max_workers=max(1, workers))
+    try:
+        dq = collections.deque()
+        for item in items:
+            dq.append(ex.submit(fn, item))
+            if len(dq) >= depth:
+                yield dq.popleft().result()
+        while dq:
+            yield dq.popleft().result()
+    finally:
+        ex.shutdown(wait=False)
+
+
 def prefetch_iterator(iterator, depth: int = 2):
     """Wrap `iterator`, producing the same items in the same order, but
     computed ahead in a daemon thread with a `depth`-bounded queue.

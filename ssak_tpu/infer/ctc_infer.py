@@ -276,9 +276,15 @@ def ctc_infer(
         else:
             cap = max(1, min(AUTO_MAX_ROWS, int(AUTO_BATCH_SECONDS * model.sample_rate) // pad_to))
         W = max(len(batch), min(_next_pow2(len(batch)), cap))
-        x = np.zeros((W, pad_to), np.float32)
+        # int16 WIRE FORMAT: the remote-runtime host->device link moves
+        # ~37 MB/s (measured, PERF.md), so a 96x10s f32 batch costs 1.6 s —
+        # the whole steady-state gap between CLI and device-only bench.
+        # PCM-sourced audio is exactly representable in int16 (scale 32768
+        # round-trips the original sample words); the cast back to f32
+        # happens on device in compute_log_probas.
+        x = np.zeros((W, pad_to), np.int16)
         for i, a in enumerate(batch):
-            x[i, : len(a)] = a
+            x[i, : len(a)] = np.clip(np.rint(np.asarray(a, np.float32) * 32768.0), -32768, 32767).astype(np.int16)
         return compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens + [0] * (W - len(batch)), np.int32))
 
     def submit(batch):
@@ -365,12 +371,15 @@ def ctc_infer(
 
         return resolve
 
+    import os as _os
+
+    io_threads = min(4, _os.cpu_count() or 2)  # ingest parallelism (PERF.md: corpus decode is ingest-bound on small hosts)
     if batch_size and batch_size > 0:
         batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=model.sample_rate,
-                                   output_ids=True, sort_by_len=sort_by_len)
+                                   output_ids=True, sort_by_len=sort_by_len, io_threads=io_threads)
     else:  # auto: samples-budget packing at the bench-proven occupancy
         rows = to_audio_batches(audios, batch_size=1, sample_rate=model.sample_rate,
-                                output_ids=True, sort_by_len=sort_by_len)
+                                output_ids=True, sort_by_len=sort_by_len, io_threads=io_threads)
         batches = auto_pack_batches((a, i) for b, ids in rows for a, i in zip(b, ids))
     pending = None  # (resolve, ids, audio_seconds)
     try:

@@ -204,7 +204,15 @@ def compute_log_probas(model: LoadedModel, audio, lengths=None):
     key = (model.cfg, audio.shape)
     if key not in _LOGPROB_CACHE:
         cfg = model.cfg
-        _LOGPROB_CACHE[key] = jax.jit(lambda p, a, l: family.ctc_log_probs(p, a, cfg, l))
+
+        def _fn(p, a, l):
+            if a.dtype == jnp.int16:
+                # int16 wire format (PCM sample words; the remote h2d link
+                # is ~37 MB/s — halving audio bytes halves ingest stalls)
+                a = a.astype(jnp.float32) * (1.0 / 32768.0)
+            return family.ctc_log_probs(p, a, cfg, l)
+
+        _LOGPROB_CACHE[key] = jax.jit(_fn)
     return _LOGPROB_CACHE[key](model.params, audio, lengths)
 
 

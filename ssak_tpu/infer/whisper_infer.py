@@ -276,9 +276,12 @@ def transcribe_longform_batch(
             chunk = audios[b][st["seek"] : st["seek"] + window_samples]
             chunks.append(chunk)
             # host-side pad: one device transfer for the whole stacked
-            # batch below (pad_or_trim per row would round-trip each chunk)
-            padded = np.zeros((window_samples,), np.float32)
-            padded[: len(chunk)] = chunk
+            # batch below (pad_or_trim per row would round-trip each
+            # chunk), int16 wire format (remote h2d is ~37 MB/s — PERF.md)
+            padded = np.zeros((window_samples,), np.int16)
+            padded[: len(chunk)] = np.clip(
+                np.rint(np.asarray(chunk, np.float32) * 32768.0), -32768, 32767
+            ).astype(np.int16)
             mels.append(padded)
             prev = st["all_tokens"][st["prompt_reset_since"]:] if condition_on_previous_text else []
             prev = prev[-max_prev:] if (prev and max_prev > 0) else []
@@ -300,7 +303,7 @@ def transcribe_longform_batch(
             mels.append(mels[0])
             bufs.append(bufs[0])
             plens.append(plens[0])
-        mel = log_mel_spectrogram(jnp.asarray(np.stack(mels)), n_mels=cfg.n_mels)
+        mel = log_mel_spectrogram(jnp.asarray(np.stack(mels)).astype(jnp.float32) * (1.0 / 32768.0), n_mels=cfg.n_mels)
         buf = np.stack(bufs)
 
         # temperature fallback over the active sub-batch: a retry re-decodes
@@ -513,12 +516,13 @@ def whisper_transcribe_batch(
         group = windows[w0 : w0 + max(1, len(batch))]
         # pad on host: ONE device transfer per group (a per-window
         # pad_or_trim round trip costs 2 transfers x windows on the
-        # latency-floor remote runtime)
-        x = np.zeros((len(group), window_samples), np.float32)
+        # latency-floor remote runtime), in the int16 wire format (the
+        # remote h2d link is ~37 MB/s — PERF.md; cast back on device)
+        x = np.zeros((len(group), window_samples), np.int16)
         for gi, w in enumerate(group):
             n = min(len(w), window_samples)
-            x[gi, :n] = w[:n]
-        mel = log_mel_spectrogram(jnp.asarray(x), n_mels=cfg.n_mels)
+            x[gi, :n] = np.clip(np.rint(np.asarray(w[:n], np.float32) * 32768.0), -32768, 32767).astype(np.int16)
+        mel = log_mel_spectrogram(jnp.asarray(x).astype(jnp.float32) * (1.0 / 32768.0), n_mels=cfg.n_mels)
         if greedy:
             # enqueue only — every group's decode is in flight before any
             # host fetch happens
@@ -549,21 +553,31 @@ def whisper_transcribe_batch(
     return resolve if return_async else resolve()
 
 
-def auto_window_batch(cfg, quantize_bits: int = 0) -> int:
+def auto_window_batch(cfg, quantize_bits: int = 0, beam_size: int = 0, best_of: int = 1) -> int:
     """Window-batch size by model size and weight precision: decode has no
     optimizer HBM, so the batch is the main throughput lever (PERF.md —
     decode is per-step-latency-bound, bigger batches are ~free). 24 is the
     measured largest large-v3 bf16 window batch on one chip; int8 halves
-    weight+KV bytes -> 40 (measured safe); int4 quarters weights -> 64
-    (capacity extrapolation, bench-verified)."""
+    weight+KV bytes -> 40 (measured safe); int4 is pinned at 32 (larger
+    programs crash/hang the remote compile helper — PERF.md "int4 decode").
+
+    beam_size/best_of multiply the decode state width B*k; the remote
+    compiler crashes on large-model beam programs past ~20 effective rows
+    (measured: beam5 B=4 compiles in ~2 min, B=8 kills tpu_compile_helper),
+    so the batch is capped to keep B*max(beam, best_of) <= 20."""
     d = getattr(cfg, "n_audio_state", 1280)
     if d >= 1280:  # large
-        return {8: 40, 4: 64}.get(quantize_bits, 24)
-    if d >= 1024:  # medium
-        return {8: 56, 4: 64}.get(quantize_bits, 32)
-    if d >= 768:  # small
-        return 48
-    return 64
+        base = {8: 40, 4: 32}.get(quantize_bits, 24)
+    elif d >= 1024:  # medium
+        base = {8: 56, 4: 48}.get(quantize_bits, 32)
+    elif d >= 768:  # small
+        base = 48
+    else:
+        base = 64
+    width = max(beam_size, best_of, 1)
+    if width > 1 and d >= 768:
+        base = max(1, min(base, 20 // width))
+    return base
 
 
 def whisper_infer(
@@ -600,8 +614,11 @@ def whisper_infer(
 
         model.params = fuse_decode_qkv(model.params)
     if not batch_size or batch_size <= 0:
-        batch_size = auto_window_batch(model.cfg, quantize_bits)
-    batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True)
+        batch_size = auto_window_batch(model.cfg, quantize_bits, beam_size=beam_size, best_of=best_of)
+    import os as _os
+
+    batches = to_audio_batches(audios, batch_size=batch_size, sample_rate=16000, output_ids=True,
+                               io_threads=min(4, _os.cpu_count() or 2))
     pending = None
     for batch, ids in prefetch_iterator(batches, depth=2):
         resolve = whisper_transcribe_batch(
