@@ -592,6 +592,7 @@ def whisper_infer(
     tensor_parallel: int = 0,
     quantize_bits: int = 0,
     best_of: int = 1,
+    max_tokens: int = 224,
 ):
     """Generator of transcripts. batch_size=0 (default) = auto window batch
     by model size/precision (auto_window_batch); audio ingest runs in a
@@ -603,6 +604,16 @@ def whisper_infer(
     from ssak_tpu.infer.general import load_model, shard_model
 
     model = load_model(model_dir, seeded_test_config=seeded_test_config, quantize_bits=quantize_bits)
+    if not quantize_bits:
+        # decode-only: bf16 weights. An fp32 checkpoint (HF default) is
+        # 6.2 GB of ARGUMENTS at large-v3 — it OOMs the B=24 window batch
+        # outright (measured: 17 GB > 15.75 HBM) and doubles every
+        # weight-stream byte. Quantized loads keep their own leaf dtypes
+        # (int8/int4 kernels + f32 scales).
+        model.params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            model.params,
+        )
     if tensor_parallel:
         shard_model(model, model_axis=tensor_parallel)
     else:
@@ -624,7 +635,7 @@ def whisper_infer(
         resolve = whisper_transcribe_batch(
             model, batch, language=language, beam_size=beam_size,
             temperature_fallback=temperature_fallback, best_of=best_of,
-            return_async=True,
+            max_tokens=max_tokens, return_async=True,
         )
         if pending is not None:
             for i, t in zip(pending[1], pending[0]()):

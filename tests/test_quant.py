@@ -187,3 +187,46 @@ class TestQLoRATraining:
         t8 = whisper_transcribe_batch(m8, audios, max_tokens=8)
         same = sum(a == b for a, b in zip(t16, t8))
         assert same >= 1, (t16, t8)  # int8 noise may flip a marginal token
+
+    def test_whisper_infer_4bit_sets_kv_int8_and_matches_bf16(self):
+        """--load_in_4bit Whisper decode: blockwise int4 weights AND int8 KV
+        caches (load_model flips cfg.kv_int8 for int4 too — the KV bytes,
+        not the weights, bound the decode batch at large dims). Transcripts
+        must track full precision on the seeded model; the fused TPU kernel
+        path is pinned kernel-exact separately
+        (test_ops_pallas.test_int4_matmul_interpret_parity + on-chip run,
+        PERF.md 'int4 decode')."""
+        from ssak_tpu.infer.general import load_model
+        from ssak_tpu.infer.whisper_infer import whisper_transcribe_batch
+
+        sr = 16000
+        rng = np.random.RandomState(0)
+        audios = [
+            (np.sin(2 * np.pi * 330 * np.arange(sr) / sr) * 0.1).astype(np.float32),
+            (rng.randn(sr) * 0.05).astype(np.float32),
+        ]
+        m16 = load_model(None, seeded_test_config="whisper")
+        m4 = load_model(None, seeded_test_config="whisper", quantize_bits=4)
+        assert m4.cfg.kv_int8 and not m16.cfg.kv_int8
+        leaves = jax.tree_util.tree_leaves(m4.params)
+        assert any(np.asarray(l).dtype == np.int8 for l in leaves)
+        # transcript equality is ill-posed on a RANDOM model at 4 bits
+        # (near-uniform logits: any quantizer flips ties; real checkpoints
+        # decode confidently) — pin logit FIDELITY instead: teacher-forced
+        # int4 logits must track full precision (measured 0.982 on the
+        # seeded model — random full-range weights are blockwise-int4's
+        # worst case; a broken dispatch/kernel correlates near 0)
+        from ssak_tpu.models import whisper as W
+        from ssak_tpu.ops.logmel import log_mel_spectrogram
+
+        mel = log_mel_spectrogram(jnp.asarray(np.stack([
+            np.pad(a, (0, m16.cfg.n_audio_ctx * 2 * 160 - len(a))) for a in audios
+        ])), n_mels=m16.cfg.n_mels)
+        toks = jnp.asarray([[m16.cfg.sot, 7, 23]] * 2, jnp.int32)
+        l16 = np.asarray(W.decode_train(m16.params, toks, W.encode(m16.params, mel, m16.cfg), m16.cfg), np.float32)
+        l4 = np.asarray(W.decode_train(m4.params, toks, W.encode(m4.params, mel, m4.cfg), m4.cfg), np.float32)
+        c = np.corrcoef(l16.ravel(), l4.ravel())[0, 1]
+        assert c > 0.97, c
+        # and the full int4 decode path executes end-to-end
+        t4 = whisper_transcribe_batch(m4, audios, max_tokens=8)
+        assert len(t4) == 2 and all(isinstance(t, str) for t in t4)
