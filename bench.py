@@ -232,10 +232,10 @@ def bench_whisper_decode(bits: int = 0):
     (ops/int8_matmul) + int8 KV caches (cfg.kv_int8) — the --load_in_8bit
     path. Measured (PERF.md "int8 decode"): latency-bound at matched batch;
     int8's real win is MEMORY — halved weights+KV fit B=40 vs 24.
-    bits=4: blockwise int4 weights (models/quant q4) — the --load_in_4bit
-    path; ~0.8 GB weights. The q4 kernels dequantize inside the program
-    (XLA), so the capacity headroom is measured, not assumed: the batch
-    ladder tries B=64 down to 24 and reports the largest that fits."""
+    bits=4: blockwise int4 weights (models/quant q4) through the fused
+    matmul_int4 Pallas kernel — the --load_in_4bit path; ~0.9 GB weights.
+    Pinned at B=32: larger int4 programs crash or hang the remote compile
+    helper (measured r4, PERF.md "int4 decode")."""
     import jax
     import jax.numpy as jnp
 

@@ -392,16 +392,27 @@ def _device_beam_program(T, V, K, blank_id, order, use_lm, use_lexicon=False, wo
 # once per model in ctc_infer), but jnp.asarray on a numpy array re-uploads
 # every call — over a remote runtime with a per-transfer latency floor that
 # tax dominates small batches (advisor r3 finding). Entries keep a strong
-# ref to the host object so an id() can never be reused while cached.
-_DEVICE_TABLE_CACHE = {}
+# ref to EVERY keyed host object so an id() can never be reused while the
+# entry lives, and the cache is a small LRU so repeated ctc_infer calls
+# (each builds fresh tables) cannot leak host RAM / HBM without bound.
+from collections import OrderedDict as _OrderedDict
+
+_DEVICE_TABLE_CACHE = _OrderedDict()
+_DEVICE_TABLE_CACHE_MAX = 8
 
 
-def _cached_device(obj, extra_key, build):
-    key = (id(obj), extra_key)
+def _cached_device(objs, extra_key, build):
+    """objs: tuple of host objects the device value is built from (all are
+    identity-keyed AND strongly referenced); extra_key: hashable scalars."""
+    key = (tuple(id(o) for o in objs), extra_key)
     ent = _DEVICE_TABLE_CACHE.get(key)
-    if ent is None or ent[0] is not obj:
-        ent = (obj, build())
+    if ent is None or any(a is not b for a, b in zip(ent[0], objs)):
+        ent = (objs, build())
         _DEVICE_TABLE_CACHE[key] = ent
+        while len(_DEVICE_TABLE_CACHE) > _DEVICE_TABLE_CACHE_MAX:
+            _DEVICE_TABLE_CACHE.popitem(last=False)
+    else:
+        _DEVICE_TABLE_CACHE.move_to_end(key)
     return ent[1]
 
 
@@ -489,18 +500,18 @@ def ctc_beam_search_device(
     aux = {}
     if use_lm:
         aux["char_lm"] = _cached_device(
-            lm_table, ("char", float(lm_alpha)),
+            (lm_table,), ("char", float(lm_alpha)),
             lambda: jnp.asarray(lm_table) * jnp.float32(LOG10) * lm_alpha,  # natural log, weighted
         )
     if use_lexicon:
         aux.update(_cached_device(
-            lexicon_tables, "lex",
+            (lexicon_tables,), "lex",
             lambda: {"lex_trans": jnp.asarray(lexicon_tables[0]),
                      "lex_accept": jnp.asarray(lexicon_tables[1])},
         ))
     if word_lm is not None:
         aux.update(_cached_device(
-            word_lm, ("wlm", id(lexicon_tables), float(lm_alpha), float(lm_beta)),
+            (word_lm, lexicon_tables), ("wlm", float(lm_alpha), float(lm_beta)),
             lambda: _prepare_word_lm_aux(word_lm, lexicon_tables, lm_alpha, lm_beta),
         ))
     best, srcs, toks = prog(log_probs, frame_lengths, aux)

@@ -35,6 +35,13 @@ def _next_pow2(n: int) -> int:
     return w
 
 
+def _wire_int16_ok(a) -> bool:
+    """True when `a` is normalized audio that int16 represents without
+    clipping (file-sourced audio always is; raw user arrays may not be)."""
+    a = np.asarray(a)
+    return a.size == 0 or float(np.abs(a).max()) <= 1.0
+
+
 # Auto batch budget: decode has no optimizer/gradient HBM, so the batch is
 # a free throughput lever — bench.py measured 96 x 10 s (960 audio-seconds
 # in flight) as the sweet spot on one chip (PERF.md); the same samples
@@ -281,10 +288,17 @@ def ctc_infer(
         # the whole steady-state gap between CLI and device-only bench.
         # PCM-sourced audio is exactly representable in int16 (scale 32768
         # round-trips the original sample words); the cast back to f32
-        # happens on device in compute_log_probas.
-        x = np.zeros((W, pad_to), np.int16)
-        for i, a in enumerate(batch):
-            x[i, : len(a)] = np.clip(np.rint(np.asarray(a, np.float32) * 32768.0), -32768, 32767).astype(np.int16)
+        # happens on device in compute_log_probas. Guard: user-passed
+        # arrays outside [-1, 1] (e.g. int16-scaled floats) would hard-clip
+        # — those ship as f32 unchanged instead.
+        if all(_wire_int16_ok(a) for a in batch):
+            x = np.zeros((W, pad_to), np.int16)
+            for i, a in enumerate(batch):
+                x[i, : len(a)] = np.rint(np.asarray(a, np.float32) * 32768.0).clip(-32768, 32767).astype(np.int16)
+        else:
+            x = np.zeros((W, pad_to), np.float32)
+            for i, a in enumerate(batch):
+                x[i, : len(a)] = a
         return compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens + [0] * (W - len(batch)), np.int32))
 
     def submit(batch):
@@ -292,31 +306,51 @@ def ctc_infer(
         only the host-side tail. Route precedence identical to the r3
         synchronous loop."""
         n = len(batch)
-        if max(len(a) for a in batch) > MAX_CHUNK_SAMPLES:
+        long_rows = [i for i, a in enumerate(batch) if len(a) > MAX_CHUNK_SAMPLES]
+        if long_rows:
+            # long rows take the per-utterance chunked path; SHORT rows in
+            # the same batch keep their normal (device) route — one 150 s
+            # file must not demote its batchmates to the host beam, or
+            # their transcripts would depend on batch composition
+            long_set = set(long_rows)
+            short_rows = [i for i in range(n) if i not in long_set]
+            long_batch = [batch[i] for i in long_rows]
+
             if lm is None and lexicon is None and beam_width <= 1:
-                # long-audio chunked greedy path (per-utterance, unchanged)
-                return lambda: ctc_transcribe_batch(model, batch)
+                resolve_long = lambda: ctc_transcribe_batch(model, long_batch)  # noqa: E731
+            else:
+                # long audio + LM/lexicon/beam: chunked logits concatenated,
+                # then ONE host prefix beam over the full utterance
+                # (reference chunking semantics; the device beam compiles
+                # per T, and a 10-minute scan program is not a shape worth
+                # owning)
+                from ssak_tpu.decode.ctc_beam import ctc_prefix_beam_search
 
-            # long audio + LM/lexicon/beam: chunked logits concatenated,
-            # then ONE host prefix beam over the full utterance (reference
-            # chunking semantics; the device beam compiles per T, and a
-            # 10-minute scan program is not a shape worth owning)
-            from ssak_tpu.decode.ctc_beam import ctc_prefix_beam_search
+                vocab = model.vocab()
+                width = host_beam if (lm is not None or lexicon is not None) else beam_width
 
-            vocab = model.vocab()
-            width = host_beam if (lm is not None or lexicon is not None) else beam_width
+                def resolve_long():
+                    texts = []
+                    for a in long_batch:
+                        lp_full = ctc_compute_logits_chunked(model, a)
+                        res = ctc_prefix_beam_search(
+                            lp_full, vocab, blank_id=model.cfg.blank_id, beam_width=width,
+                            lm=lm, alpha=lm_alpha, beta=lm_beta, lexicon=lexicon)
+                        texts.append(res[0][0] if res else "")
+                    return texts
 
-            def resolve_long():
-                texts = []
-                for a in batch:
-                    lp_full = ctc_compute_logits_chunked(model, a)
-                    res = ctc_prefix_beam_search(
-                        lp_full, vocab, blank_id=model.cfg.blank_id, beam_width=width,
-                        lm=lm, alpha=lm_alpha, beta=lm_beta, lexicon=lexicon)
-                    texts.append(res[0][0] if res else "")
+            resolve_short = submit([batch[i] for i in short_rows]) if short_rows else None
+
+            def resolve_mixed():
+                texts = [None] * n
+                if resolve_short is not None:
+                    for i, t in zip(short_rows, resolve_short()):
+                        texts[i] = t
+                for i, t in zip(long_rows, resolve_long()):
+                    texts[i] = t
                 return texts
 
-            return resolve_long
+            return resolve_mixed
         device_beam = word_lm_tables is not None or (lm is None and lex_tables is not None) or (
             beam_width > 1 and lm is None and lexicon is None)
         if device_beam:
@@ -380,7 +414,10 @@ def ctc_infer(
     else:  # auto: samples-budget packing at the bench-proven occupancy
         rows = to_audio_batches(audios, batch_size=1, sample_rate=model.sample_rate,
                                 output_ids=True, sort_by_len=sort_by_len, io_threads=io_threads)
-        batches = auto_pack_batches((a, i) for b, ids in rows for a, i in zip(b, ids))
+        batches = auto_pack_batches(
+            ((a, i) for b, ids in rows for a, i in zip(b, ids)),
+            max_samples=int(AUTO_BATCH_SECONDS * model.sample_rate),  # same budget _encode_padded assumes
+        )
     pending = None  # (resolve, ids, audio_seconds)
     try:
         for batch, ids in prefetch_iterator(batches, depth=2):

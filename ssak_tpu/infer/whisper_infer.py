@@ -270,19 +270,11 @@ def transcribe_longform_batch(
         active = [b for b in range(B) if state[b]["seek"] < len(audios[b])]
         if not active:
             break
-        mels, bufs, plens, chunks = [], [], [], []
+        bufs, plens, chunks = [], [], []
         for b in active:
             st = state[b]
             chunk = audios[b][st["seek"] : st["seek"] + window_samples]
             chunks.append(chunk)
-            # host-side pad: one device transfer for the whole stacked
-            # batch below (pad_or_trim per row would round-trip each
-            # chunk), int16 wire format (remote h2d is ~37 MB/s — PERF.md)
-            padded = np.zeros((window_samples,), np.int16)
-            padded[: len(chunk)] = np.clip(
-                np.rint(np.asarray(chunk, np.float32) * 32768.0), -32768, 32767
-            ).astype(np.int16)
-            mels.append(padded)
             prev = st["all_tokens"][st["prompt_reset_since"]:] if condition_on_previous_text else []
             prev = prev[-max_prev:] if (prev and max_prev > 0) else []
             ids = ([sot_prev] + prev if prev else []) + sot_seq
@@ -299,11 +291,26 @@ def transcribe_longform_batch(
         W = 1
         while W < len(active):
             W *= 2
-        while len(mels) < W:
-            mels.append(mels[0])
+        rows = chunks + [chunks[0]] * (W - len(chunks))
+        while len(bufs) < W:
             bufs.append(bufs[0])
             plens.append(plens[0])
-        mel = log_mel_spectrogram(jnp.asarray(np.stack(mels)).astype(jnp.float32) * (1.0 / 32768.0), n_mels=cfg.n_mels)
+        # host-side pad, ONE device transfer for the stacked batch, int16
+        # wire format when every row is normalized audio (remote h2d is
+        # ~37 MB/s — PERF.md); any |x|>1 row ships the batch as f32
+        from ssak_tpu.infer.ctc_infer import _wire_int16_ok
+
+        if all(_wire_int16_ok(c) for c in rows):
+            x = np.zeros((W, window_samples), np.int16)
+            for i, c in enumerate(rows):
+                x[i, : len(c)] = np.rint(np.asarray(c, np.float32) * 32768.0).clip(-32768, 32767).astype(np.int16)
+            audio_dev = jnp.asarray(x).astype(jnp.float32) * (1.0 / 32768.0)
+        else:
+            x = np.zeros((W, window_samples), np.float32)
+            for i, c in enumerate(rows):
+                x[i, : len(c)] = c
+            audio_dev = jnp.asarray(x)
+        mel = log_mel_spectrogram(audio_dev, n_mels=cfg.n_mels)
         buf = np.stack(bufs)
 
         # temperature fallback over the active sub-batch: a retry re-decodes
@@ -512,17 +519,34 @@ def whisper_transcribe_batch(
     texts = [""] * len(batch)
     greedy = not (beam_size > 1 or temperature_fallback)
     group_handles = []  # greedy: (w0, group_len, tokens_dev, lengths_dev)
-    for w0 in range(0, len(windows), max(1, len(batch))):
-        group = windows[w0 : w0 + max(1, len(batch))]
+    cap = max(1, len(batch))
+    for w0 in range(0, len(windows), cap):
+        group = windows[w0 : w0 + cap]
+        # width-bucket the group to pow2 (capped at the nominal batch):
+        # ragged short-row counts would otherwise compile a multi-minute
+        # large-v3 program per distinct width (same fix as the longform and
+        # fallback sub-batches); dummy zero rows are sliced off below
+        from ssak_tpu.infer.ctc_infer import _next_pow2, _wire_int16_ok
+
+        Wg = max(len(group), min(_next_pow2(len(group)), cap))
         # pad on host: ONE device transfer per group (a per-window
         # pad_or_trim round trip costs 2 transfers x windows on the
         # latency-floor remote runtime), in the int16 wire format (the
-        # remote h2d link is ~37 MB/s — PERF.md; cast back on device)
-        x = np.zeros((len(group), window_samples), np.int16)
-        for gi, w in enumerate(group):
-            n = min(len(w), window_samples)
-            x[gi, :n] = np.clip(np.rint(np.asarray(w[:n], np.float32) * 32768.0), -32768, 32767).astype(np.int16)
-        mel = log_mel_spectrogram(jnp.asarray(x).astype(jnp.float32) * (1.0 / 32768.0), n_mels=cfg.n_mels)
+        # remote h2d link is ~37 MB/s — PERF.md; cast back on device).
+        # Non-normalized user arrays (|x|>1 would hard-clip) ship as f32.
+        if all(_wire_int16_ok(w) for w in group):
+            x = np.zeros((Wg, window_samples), np.int16)
+            for gi, w in enumerate(group):
+                n = min(len(w), window_samples)
+                x[gi, :n] = np.rint(np.asarray(w[:n], np.float32) * 32768.0).clip(-32768, 32767).astype(np.int16)
+            audio_dev = jnp.asarray(x).astype(jnp.float32) * (1.0 / 32768.0)
+        else:
+            x = np.zeros((Wg, window_samples), np.float32)
+            for gi, w in enumerate(group):
+                n = min(len(w), window_samples)
+                x[gi, :n] = w[:n]
+            audio_dev = jnp.asarray(x)
+        mel = log_mel_spectrogram(audio_dev, n_mels=cfg.n_mels)
         if greedy:
             # enqueue only — every group's decode is in flight before any
             # host fetch happens
@@ -534,7 +558,7 @@ def whisper_transcribe_batch(
             temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if temperature_fallback else (0.0,),
             best_of=best_of,
         )
-        for gi, piece in enumerate(pieces):
+        for gi, piece in enumerate(pieces[: len(group)]):
             bi = origins[w0 + gi]
             texts[bi] = (texts[bi] + " " + piece).strip() if piece else texts[bi]
 
@@ -658,7 +682,8 @@ def cli(argv=None):
     parser.add_argument("--language", default=None)
     parser.add_argument("--output", default=None)
     parser.add_argument("--batch_size", type=int, default=0,
-                        help="0 (default) = auto window batch by model size/precision (24 for large-v3 bf16, 40 int8, 64 int4)")
+                        help="0 (default) = auto window batch by model size/precision (24 for large-v3 bf16, 40 int8, 32 int4; "
+                             "beam/best_of cap batch*width at the compiler-safe 20 rows)")
     parser.add_argument("--use_ids", action="store_true", default=True)
     parser.add_argument("--no-use_ids", dest="use_ids", action="store_false")
     parser.add_argument("--beam_size", type=int, default=0)

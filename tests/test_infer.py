@@ -220,6 +220,65 @@ def test_ctc_infer_pipelined_beam_deterministic(reference_data_dir, monkeypatch)
     assert all(isinstance(t, str) for t in a.values())
 
 
+def test_ctc_infer_mixed_long_short_batch_keeps_short_on_device_route(monkeypatch):
+    """A >140 s utterance sharing a fixed-size batch with short ones must
+    not demote the short rows to its per-utterance path: short transcripts
+    are identical to a short-only run (code-review r4 finding)."""
+    from ssak_tpu.infer.ctc_infer import MAX_CHUNK_SAMPLES, ctc_infer
+
+    rng = np.random.RandomState(1)
+    short = [(rng.randn(16000) * 0.1).astype(np.float32) for _ in range(2)]
+    long_a = np.zeros(MAX_CHUNK_SAMPLES + 16000, np.float32)
+    long_a[:32000] = (rng.randn(32000) * 0.1).astype(np.float32)
+
+    solo = list(ctc_infer(None, short, batch_size=4, seeded_test_config="wav2vec2"))
+    mixed = list(ctc_infer(None, [short[0], long_a, short[1]], batch_size=4, seeded_test_config="wav2vec2"))
+    assert mixed[0] == solo[0] and mixed[2] == solo[1]
+    assert isinstance(mixed[1], str)
+
+
+def test_ctc_infer_int16_wire_guard(monkeypatch):
+    """Normalized audio ships int16 (quantized to 1/32768); audio outside
+    [-1, 1] must ship as f32 UNCHANGED (hard-clipping would square-wave
+    it — code-review r4 finding)."""
+    import ssak_tpu.infer.general as G
+    from ssak_tpu.infer.ctc_infer import ctc_infer
+
+    seen = []
+    orig = G.compute_log_probas
+
+    def spy(model, audio, lengths=None):
+        seen.append((np.asarray(audio).dtype, np.asarray(audio)))
+        return orig(model, audio, lengths)
+
+    monkeypatch.setattr(G, "compute_log_probas", spy)
+    small = (np.random.RandomState(0).randn(8000) * 0.1).astype(np.float32).clip(-1, 1)
+    big = small * 1000.0
+    list(ctc_infer(None, [small], batch_size=1, seeded_test_config="wav2vec2"))
+    list(ctc_infer(None, [big], batch_size=1, seeded_test_config="wav2vec2"))
+    (dt_small, _a), (dt_big, a_big) = seen[0], seen[1]
+    assert dt_small == np.int16
+    assert dt_big == np.float32
+    np.testing.assert_array_equal(a_big[0, :8000], big)
+
+
+def test_whisper_infer_pipelined_order_and_ids(reference_data_dir):
+    """The pipelined whisper generator (batch n+1 enqueued before batch n's
+    host fetch) must still yield (id, text) pairs in input order across
+    multiple batches, and twice identically."""
+    from ssak_tpu.audio import load_audio
+    from ssak_tpu.infer.whisper_infer import whisper_infer
+
+    wav = os.path.join(reference_data_dir, "audio", "bonjour.wav")
+    src = np.asarray(load_audio(wav, sample_rate=16000), np.float32)
+    rng = np.random.RandomState(3)
+    audios = [src * float(g) for g in rng.uniform(0.3, 1.0, 5)]
+    out1 = list(whisper_infer(None, audios, batch_size=2, output_ids=True, seeded_test_config="whisper"))
+    assert [i for i, _t in out1] == [f"audio{k:03d}" for k in range(5)]
+    out2 = list(whisper_infer(None, audios, batch_size=2, output_ids=True, seeded_test_config="whisper"))
+    assert out1 == out2
+
+
 def test_whisper_batch_routes_longform_batched(monkeypatch):
     """Multiple long utterances go through ONE transcribe_longform_batch
     call (not a per-utterance loop)."""

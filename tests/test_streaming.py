@@ -165,7 +165,7 @@ def test_streaming_chunk_to_partial_latency(model):
     import json
     import time
 
-    import websockets  # noqa: F401 (skip below if absent)
+    pytest.importorskip("websockets")
 
     from ssak_tpu.infer.streaming import serve_streaming
 
