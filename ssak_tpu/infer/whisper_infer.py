@@ -7,6 +7,7 @@ batch through ONE compiled greedy-decode program (lax.scan KV-cache);
 long audio iterates windows with the transcript concatenated.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -645,9 +646,15 @@ def whisper_infer(
         # self-attn site (launch-latency win; PERF.md). Skipped under TP —
         # the megatron rules split q/k/v head-wise, which a naive
         # concatenated layout would break across shards.
-        from ssak_tpu.models.whisper import fuse_decode_qkv
+        from ssak_tpu.models.whisper import fuse_decode_qkv, stack_decoder_blocks
 
         model.params = fuse_decode_qkv(model.params)
+        if os.environ.get("SSAK_SCAN_LAYERS", "0") == "1":
+            # layer-scanned decode: ~n_layers x smaller HLO per decode
+            # program (the remote compile helper crashes on the unrolled
+            # large-v3 program past ~20 beam rows / int4 B>=40 — PERF.md).
+            # Opt-in pending an on-chip throughput measurement.
+            model.params = stack_decoder_blocks(model.params)
     if not batch_size or batch_size <= 0:
         batch_size = auto_window_batch(model.cfg, quantize_bits, beam_size=beam_size, best_of=best_of)
     import os as _os

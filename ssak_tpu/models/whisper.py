@@ -185,6 +185,65 @@ def fuse_decode_qkv(params):
     return out
 
 
+def stack_decoder_blocks(params):
+    """Load-time decode optimization: stack the decoder's per-layer block
+    dicts into ONE pytree whose leaves carry a leading layer axis, so the
+    cached decode step runs as a lax.scan over layers instead of a
+    32x-unrolled Python loop. The traced/compiled HLO shrinks ~n_layers x —
+    which is what the remote TPU compile helper chokes on for big decode
+    programs (PERF.md "int4 decode": B>=40 crashes/hangs are program-SIZE
+    failures, not memory). Apply AFTER fuse_decode_qkv/quantize (both keep
+    the block structure homogeneous across layers) and NOT under TP (the
+    megatron sharding rules address blocks by per-layer path). Opt-in via
+    SSAK_SCAN_LAYERS=1 in whisper_infer."""
+    blocks = params["decoder"]["blocks"]
+    if isinstance(blocks, dict):  # already stacked
+        return params
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["blocks"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    out["decoder"] = dec
+    return out
+
+
+def _decode_layer(blk, cache, cross_kv, x, attn_bounds, cache_index, cfg: WhisperConfig):
+    """One decoder layer of a cached decode step (shared by the unrolled
+    and the layer-scanned formulations)."""
+    dt = cfg.compute_dtype
+    h, self_c = L.mha(
+        L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
+        attn_bounds=attn_bounds, cache=cache, cache_index=cache_index, dtype=dt,
+    )
+    x = x + h
+    xq = L.layer_norm(x, blk["cross_attn_ln"])
+    q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
+    y = _cross_attention(q, cross_kv, dt)
+    x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
+    x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
+    return x, self_c
+
+
+def _decode_layers(dec, x, caches, cross_kvs, attn_bounds, cache_index, cfg: WhisperConfig):
+    """Run all decoder layers: Python loop over list-of-blocks params, or a
+    single lax.scan over layer-stacked params (stack_decoder_blocks)."""
+    blocks = dec["blocks"]
+    if isinstance(blocks, dict):
+        def body(x, inp):
+            blk, cache, ckv = inp
+            return _decode_layer(blk, cache, ckv, x, attn_bounds, cache_index, cfg)
+
+        return jax.lax.scan(body, x, (blocks, caches, cross_kvs))
+    new_caches = []
+    for blk, cache, cross_kv in zip(blocks, caches, cross_kvs):
+        x, self_c = _decode_layer(blk, cache, cross_kv, x, attn_bounds, cache_index, cfg)
+        new_caches.append(self_c)
+    return x, new_caches
+
+
+def _stacked(params) -> bool:
+    return isinstance(params["decoder"]["blocks"], dict)
+
+
 def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
     """Cross-attention K/V are decode-invariant: compute once per utterance
     instead of per token (the reference's openai-whisper does this with
@@ -198,12 +257,18 @@ def precompute_cross_kv(params, audio_features, cfg: WhisperConfig):
     layers.decode_attention). This is what lets batch-32 large-v3 decode
     fit and run bandwidth-bound on one v5e chip."""
     dt = cfg.compute_dtype
-    out = []
-    for blk in params["decoder"]["blocks"]:
-        k = L.to_decode_kv(L.dense(audio_features, blk["cross_attn"]["key"], dt), cfg.n_text_head)
-        v = L.to_decode_kv(L.dense(audio_features, blk["cross_attn"]["value"], dt), cfg.n_text_head)
-        out.append(L.quantize_decode_kv(k, v) if cfg.kv_int8 else {"k": k, "v": v})
-    return out
+
+    def one(cblk):
+        k = L.to_decode_kv(L.dense(audio_features, cblk["key"], dt), cfg.n_text_head)
+        v = L.to_decode_kv(L.dense(audio_features, cblk["value"], dt), cfg.n_text_head)
+        return L.quantize_decode_kv(k, v) if cfg.kv_int8 else {"k": k, "v": v}
+
+    blocks = params["decoder"]["blocks"]
+    if isinstance(blocks, dict):  # layer-stacked (stack_decoder_blocks):
+        # scan over the stacked cross-attn params -> stacked (L, ...) K/V
+        _, out = jax.lax.scan(lambda c, cblk: (c, one(cblk)), None, blocks["cross_attn"])
+        return out
+    return [one(blk["cross_attn"]) for blk in blocks]
 
 
 def _cross_attention(q, cross_kv, dt):
@@ -220,29 +285,18 @@ def _decode_step(params, token, pos, caches, cross_kvs, cfg: WhisperConfig):
     dt = cfg.compute_dtype
     dec = params["decoder"]
     x = dec["token_embedding"][token] + jax.lax.dynamic_slice_in_dim(dec["positional_embedding"], pos, 1, axis=0)
-    new_caches = []
-    for blk, cache, cross_kv in zip(dec["blocks"], caches, cross_kvs):
-        h, self_c = L.mha(
-            L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
-            attn_bounds=(0, pos), cache=cache, cache_index=pos, dtype=dt,
-        )
-        x = x + h
-        # cross-attention with precomputed decode-layout K/V
-        xq = L.layer_norm(x, blk["cross_attn_ln"])
-        q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
-        y = _cross_attention(q, cross_kv, dt)
-        x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
-        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
-        new_caches.append(self_c)
+    x, new_caches = _decode_layers(dec, x, caches, cross_kvs, (0, pos), pos, cfg)
     x = L.layer_norm(x, dec["ln"])
     logits = jnp.matmul(x.astype(dt), dec["token_embedding"].T.astype(dt), preferred_element_type=jnp.float32)
     return logits.astype(jnp.float32)[:, 0], new_caches
 
 
-def init_cache(cfg: WhisperConfig, batch: int):
+def init_cache(cfg: WhisperConfig, batch: int, stacked: bool = False):
     """Self-attention KV cache in the decode-cache layout (B, H, Dh, L),
     compute dtype (bf16 on TPU) — near-pad-free and dot-operand-native;
-    see layers.decode_attention / precompute_cross_kv."""
+    see layers.decode_attention / precompute_cross_kv. stacked=True (for
+    layer-scanned params, stack_decoder_blocks) returns one pytree with a
+    leading layer axis instead of a per-layer list."""
     Dh = cfg.n_text_state // cfg.n_text_head
 
     def empty():
@@ -253,6 +307,10 @@ def init_cache(cfg: WhisperConfig, batch: int):
             "v": jnp.zeros((batch, cfg.n_text_head, Dh, cfg.n_text_ctx), cfg.compute_dtype),
         }
 
+    if stacked:
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros((cfg.n_text_layer,) + a.shape, a.dtype), empty()
+        )
     return [empty() for _ in range(cfg.n_text_layer)]
 
 
@@ -267,7 +325,7 @@ def greedy_decode(params, mel, cfg: WhisperConfig, prompt, max_tokens: int = Non
     max_tokens = max_tokens or (cfg.n_text_ctx - len(prompt) - 1)
     audio_features = encode(params, mel, cfg)
     cross_kvs = precompute_cross_kv(params, audio_features, cfg)
-    caches = init_cache(cfg, B)
+    caches = init_cache(cfg, B, stacked=_stacked(params))
 
     # teacher-force the prompt through the cache
     logits = None
@@ -295,9 +353,11 @@ def greedy_decode(params, mel, cfg: WhisperConfig, prompt, max_tokens: int = Non
     return tokens, lengths
 
 
-def _tile_rows(tree, n: int):
-    """Repeat every leaf n times along axis 0 (row b -> rows b*n..b*n+n-1)."""
-    return jax.tree_util.tree_map(lambda x: jnp.repeat(x, n, axis=0), tree)
+def _tile_rows(tree, n: int, axis: int = 0):
+    """Repeat every leaf n times along the batch axis (row b -> rows
+    b*n..b*n+n-1). axis=1 for layer-stacked cache/cross-KV pytrees, whose
+    leading axis is the layer."""
+    return jax.tree_util.tree_map(lambda x: jnp.repeat(x, n, axis=axis), tree)
 
 
 def _best_of_select(tokens, lengths, sum_logprob, B: int, best_of: int):
@@ -328,7 +388,7 @@ def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: flo
     max_tokens = max_tokens or (cfg.n_text_ctx - len(prompt) - 1)
     audio_features = encode(params, mel, cfg)
     cross_kvs = precompute_cross_kv(params, audio_features, cfg)
-    caches = init_cache(cfg, B)
+    caches = init_cache(cfg, B, stacked=_stacked(params))
 
     logits = None
     for i, tok in enumerate(prompt):
@@ -338,8 +398,9 @@ def sample_decode(params, mel, cfg: WhisperConfig, prompt, key, temperature: flo
     n = best_of if temperature > 0 else 1
     if n > 1:
         logits = jnp.repeat(logits, n, axis=0)
-        caches = _tile_rows(caches, n)
-        cross_kvs = _tile_rows(cross_kvs, n)
+        bax = 1 if _stacked(params) else 0
+        caches = _tile_rows(caches, n, axis=bax)
+        cross_kvs = _tile_rows(cross_kvs, n, axis=bax)
     Bn = B * n
 
     def pick(logits, k):
@@ -393,7 +454,7 @@ def beam_decode(params, mel, cfg: WhisperConfig, prompt, beam_size: int = 5, max
     # expand to (B*K, ...)
     af = jnp.repeat(audio_features, K, axis=0)
     cross_kvs = precompute_cross_kv(params, af, cfg)
-    caches = init_cache(cfg, B * K)
+    caches = init_cache(cfg, B * K, stacked=_stacked(params))
 
     logits = None
     for i, tok in enumerate(prompt):
@@ -429,7 +490,10 @@ def beam_decode(params, mel, cfg: WhisperConfig, prompt, beam_size: int = 5, max
         tokens_hist = tokens_hist.at[:, :, i].set(new_tok)
         finished = jnp.take_along_axis(finished, src_beam, axis=1) | (new_tok == cfg.eot)
         gather = (src_beam + jnp.arange(B)[:, None] * K).reshape(-1)
-        new_caches = jax.tree_util.tree_map(lambda c: c[gather], new_caches)
+        if _stacked(params):  # leading axis is the layer; batch is axis 1
+            new_caches = jax.tree_util.tree_map(lambda c: c[:, gather], new_caches)
+        else:
+            new_caches = jax.tree_util.tree_map(lambda c: c[gather], new_caches)
         return (new_scores, tokens_hist, finished, new_caches), None
 
     carry = (scores, tokens_hist, finished, caches)
@@ -462,19 +526,7 @@ def _decode_step_padded(params, token, pos_idx, slot, pad_len, caches, cross_kvs
     dec = params["decoder"]
     pos_emb = dec["positional_embedding"][jnp.clip(pos_idx, 0, cfg.n_text_ctx - 1)][:, None, :]
     x = dec["token_embedding"][token] + pos_emb
-    new_caches = []
-    for blk, cache, cross_kv in zip(dec["blocks"], caches, cross_kvs):
-        h, self_c = L.mha(
-            L.layer_norm(x, blk["attn_ln"]), blk["attn"], cfg.n_text_head,
-            attn_bounds=(pad_len, slot), cache=cache, cache_index=slot, dtype=dt,
-        )
-        x = x + h
-        xq = L.layer_norm(x, blk["cross_attn_ln"])
-        q = L.split_heads(L.dense(xq, blk["cross_attn"]["query"], dt), cfg.n_text_head)
-        y = _cross_attention(q, cross_kv, dt)
-        x = x + L.dense(L.merge_heads(y), blk["cross_attn"]["out"], dt)
-        x = x + L.mlp(L.layer_norm(x, blk["mlp_ln"]), blk["mlp"], dtype=dt)
-        new_caches.append(self_c)
+    x, new_caches = _decode_layers(dec, x, caches, cross_kvs, (pad_len, slot), slot, cfg)
     x = L.layer_norm(x, dec["ln"])
     logits = jnp.matmul(x.astype(dt), dec["token_embedding"].T.astype(dt), preferred_element_type=jnp.float32)
     return logits.astype(jnp.float32)[:, 0], new_caches
@@ -556,7 +608,7 @@ def decode_window(
     pad_len = (P - prompt_len).astype(jnp.int32)  # (B,)
     audio_features = encode(params, mel, cfg)
     cross_kvs = precompute_cross_kv(params, audio_features, cfg)
-    caches = init_cache(cfg, B)
+    caches = init_cache(cfg, B, stacked=_stacked(params))
 
     # teacher-force the padded prompt through the cache as a scan; probe the
     # no-speech logits where <sot> sits (fixed slot: prompts are right-aligned)
@@ -580,8 +632,9 @@ def decode_window(
     # deterministic, so no_speech_prob stays per-utterance.
     n = best_of if temperature > 0 else 1
     if n > 1:
-        caches = _tile_rows(caches, n)
-        cross_kvs = _tile_rows(cross_kvs, n)
+        bax = 1 if _stacked(params) else 0
+        caches = _tile_rows(caches, n, axis=bax)
+        cross_kvs = _tile_rows(cross_kvs, n, axis=bax)
         last_logits = jnp.repeat(last_logits, n, axis=0)
         pad_len = jnp.repeat(pad_len, n, axis=0)
     Bn = B * n

@@ -284,3 +284,67 @@ def test_int8_kv_greedy_and_beam_parity(model):
     bt8, bl8, bs8 = whisper.beam_decode(params, mel, cfg8, prompt, beam_size=3, max_tokens=8)
     assert float(jnp.mean((bt0 == bt8).astype(jnp.float32))) > 0.9
     assert float(jnp.max(jnp.abs(bs0 - bs8))) < 0.1
+
+
+# --- layer-scanned decode (whisper.stack_decoder_blocks) ------------------
+
+
+def test_stacked_decode_parity(model):
+    """stack_decoder_blocks (lax.scan over a layer-stacked decoder — the
+    ~n_layers x smaller decode HLO that keeps the remote TPU compile helper
+    from crashing on big programs, PERF.md "int4 decode") must reproduce the
+    unrolled decode: exactly at f32, token-exact at bf16."""
+    params, cfg = model
+    cfg32 = whisper.make_config("tiny_test", dtype="float32")
+    stacked = whisper.stack_decoder_blocks(params)
+    # stacked leaves carry a leading layer axis; idempotent
+    assert isinstance(stacked["decoder"]["blocks"], dict)
+    lw = stacked["decoder"]["blocks"]["mlp"]["fc1"]["kernel"]
+    assert lw.shape[0] == cfg.n_text_layer
+    assert whisper.stack_decoder_blocks(stacked) is stacked
+
+    rng = np.random.RandomState(11)
+    mel = jnp.asarray(rng.randn(3, cfg.n_mels, 200).astype(np.float32) * 0.1)
+    prompt = [cfg.sot, cfg.no_timestamps]
+    for c in (cfg32, cfg):
+        t0, l0 = whisper.greedy_decode(params, mel, c, prompt, max_tokens=8)
+        t1, l1 = whisper.greedy_decode(stacked, mel, c, prompt, max_tokens=8)
+        assert (np.asarray(t0) == np.asarray(t1)).all()
+        assert (np.asarray(l0) == np.asarray(l1)).all()
+    bt0, _, bs0 = whisper.beam_decode(params, mel, cfg32, prompt, beam_size=3, max_tokens=6)
+    bt1, _, bs1 = whisper.beam_decode(stacked, mel, cfg32, prompt, beam_size=3, max_tokens=6)
+    assert (np.asarray(bt0) == np.asarray(bt1)).all()
+    np.testing.assert_allclose(np.asarray(bs0), np.asarray(bs1), atol=1e-4)
+
+
+def test_stacked_decode_window_and_quant(model):
+    """The production decode_window path (timestamps, padded prompts,
+    int8 KV) and the int8/int4 quantized loads all decode identically
+    through the layer-scanned formulation; fuse_decode_qkv composes."""
+    params, cfg = model
+    from ssak_tpu.models.quant import quantize_params
+
+    rng = np.random.RandomState(12)
+    mel = jnp.asarray(rng.randn(3, cfg.n_mels, 200).astype(np.float32) * 0.1)
+    prompt = [cfg.sot, cfg.no_timestamps]
+    pr = jnp.full((3, 4), cfg.sot_prev, jnp.int32)
+    pr = pr.at[:, 2].set(cfg.sot).at[:, 3].set(cfg.no_timestamps)
+    plen = jnp.array([4, 3, 2], jnp.int32)
+    for kv8 in (False, True):
+        c = whisper.make_config("tiny_test", kv_int8=kv8)
+        a = whisper.decode_window(params, mel, pr, plen, c, sot_distance=2,
+                                  max_tokens=6, with_timestamps=True)
+        b = whisper.decode_window(whisper.stack_decoder_blocks(params), mel, pr, plen, c,
+                                  sot_distance=2, max_tokens=6, with_timestamps=True)
+        assert (np.asarray(a[0]) == np.asarray(b[0])).all(), f"kv_int8={kv8}"
+        np.testing.assert_allclose(np.asarray(a[3]), np.asarray(b[3]), atol=2e-2)
+    for bits in (8, 4):
+        qp = quantize_params(params, bits=bits)
+        t0, _ = whisper.greedy_decode(qp, mel, cfg, prompt, max_tokens=6)
+        t1, _ = whisper.greedy_decode(whisper.stack_decoder_blocks(qp), mel, cfg, prompt, max_tokens=6)
+        assert (np.asarray(t0) == np.asarray(t1)).all(), f"bits={bits}"
+    fs = whisper.stack_decoder_blocks(whisper.fuse_decode_qkv(params))
+    assert "qkv" in fs["decoder"]["blocks"]["attn"]
+    t0, _ = whisper.greedy_decode(params, mel, cfg, prompt, max_tokens=6)
+    t1, _ = whisper.greedy_decode(fs, mel, cfg, prompt, max_tokens=6)
+    assert (np.asarray(t0) == np.asarray(t1)).all()
