@@ -328,3 +328,28 @@ def test_whisper_cli_accurate_preset_maps_to_beam5_bestof5(reference_data_dir, m
     seen.clear()
     wi.cli([wav, "dummy_model", "--efficient", "--best_of", "9", "--output", str(tmp_path / "o.txt")])
     assert seen["beam_size"] == 0 and seen["best_of"] == 1
+
+
+def test_whisper_infer_scan_layers_env_routes_and_matches(reference_data_dir, monkeypatch):
+    """SSAK_SCAN_LAYERS=1 stacks the decoder at load time (whisper_infer
+    non-TP path) and the production transcript is unchanged (the layer-scan
+    escape hatch for compiler program-size crashes — PERF.md)."""
+    from ssak_tpu.infer.whisper_infer import whisper_infer
+    from ssak_tpu.models import whisper as W
+
+    wav = os.path.join(reference_data_dir, "audio", "bonjour.wav")
+    monkeypatch.delenv("SSAK_SCAN_LAYERS", raising=False)
+    [t0] = list(whisper_infer(None, wav, seeded_test_config="whisper"))
+    stacked_seen = []
+    orig = W.stack_decoder_blocks
+
+    def spy(params):
+        out = orig(params)
+        stacked_seen.append(isinstance(out["decoder"]["blocks"], dict))
+        return out
+
+    monkeypatch.setenv("SSAK_SCAN_LAYERS", "1")
+    monkeypatch.setattr(W, "stack_decoder_blocks", spy)
+    [t1] = list(whisper_infer(None, wav, seeded_test_config="whisper"))
+    assert stacked_seen == [True]
+    assert t1 == t0
