@@ -589,7 +589,12 @@ def auto_window_batch(cfg, quantize_bits: int = 0, beam_size: int = 0, best_of: 
     beam_size/best_of multiply the decode state width B*k; the remote
     compiler crashes on large-model beam programs past ~20 effective rows
     (measured: beam5 B=4 compiles in ~2 min, B=8 kills tpu_compile_helper),
-    so the batch is capped to keep B*max(beam, best_of) <= 20."""
+    so the batch is capped to keep B*max(beam, best_of) <= 20. Under
+    SSAK_SCAN_LAYERS=1 the ~32x smaller layer-scanned HLO compiles beam
+    programs up to 40 rows (measured; 80 still crashes — PERF.md
+    "layer-scan investigation"), so the pure-beam cap doubles; best_of>1
+    keeps the conservative cap (its sampled-retry program crashed at
+    B=8 even layer-scanned)."""
     d = getattr(cfg, "n_audio_state", 1280)
     if d >= 1280:  # large
         base = {8: 40, 4: 32}.get(quantize_bits, 24)
@@ -601,7 +606,10 @@ def auto_window_batch(cfg, quantize_bits: int = 0, beam_size: int = 0, best_of: 
         base = 64
     width = max(beam_size, best_of, 1)
     if width > 1 and d >= 768:
-        base = max(1, min(base, 20 // width))
+        rows = 20
+        if best_of <= 1 and os.environ.get("SSAK_SCAN_LAYERS", "0") == "1":
+            rows = 40
+        base = max(1, min(base, rows // width))
     return base
 
 

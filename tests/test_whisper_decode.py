@@ -348,3 +348,19 @@ def test_stacked_decode_window_and_quant(model):
     t0, _ = whisper.greedy_decode(params, mel, cfg, prompt, max_tokens=6)
     t1, _ = whisper.greedy_decode(fs, mel, cfg, prompt, max_tokens=6)
     assert (np.asarray(t0) == np.asarray(t1)).all()
+
+
+def test_auto_window_batch_scan_layers_cap(monkeypatch):
+    """The compiler-crash row caps in auto_window_batch: 20 rows unrolled,
+    40 rows pure-beam under SSAK_SCAN_LAYERS=1 (measured envelopes — PERF.md
+    "layer-scan investigation"); best_of keeps the conservative cap."""
+    from ssak_tpu.infer.whisper_infer import auto_window_batch
+
+    cfg = whisper.make_config("large-v3")
+    monkeypatch.delenv("SSAK_SCAN_LAYERS", raising=False)
+    assert auto_window_batch(cfg) == 24
+    assert auto_window_batch(cfg, beam_size=5) == 4            # 20 // 5
+    monkeypatch.setenv("SSAK_SCAN_LAYERS", "1")
+    assert auto_window_batch(cfg, beam_size=5) == 8            # 40 // 5
+    assert auto_window_batch(cfg, beam_size=5, best_of=5) == 4  # retry program: stay at 20
+    assert auto_window_batch(cfg) == 24                        # greedy unaffected
