@@ -230,8 +230,12 @@ def bench_whisper_decode(bits: int = 0):
 
     bits=8: weight-only int8 through the fused dequant-matmul Pallas kernel
     (ops/int8_matmul) + int8 KV caches (cfg.kv_int8) — the --load_in_8bit
-    path. Measured (PERF.md "int8 decode"): latency-bound at matched batch;
-    int8's real win is MEMORY — halved weights+KV fit B=40 vs 24.
+    path. int8's claimed win is CAPACITY (halved weights+KV): the r3
+    single-shot record said B=48 is the best large-v3 decode config on
+    this chip, r4's hardened B=40 measured a 0.7% win over bf16 — so this
+    section A/B-tests B=40 vs B=48 INTERLEAVED under the hardened harness
+    and reports the winner (VERDICT r4 next #4: one configuration, one
+    claim, one number).
     bits=4: blockwise int4 weights (models/quant q4) through the fused
     matmul_int4 Pallas kernel — the --load_in_4bit path; ~0.9 GB weights.
     Pinned at B=32: larger int4 programs crash or hang the remote compile
@@ -248,14 +252,12 @@ def bench_whisper_decode(bits: int = 0):
         from ssak_tpu.models.quant import quantize_params
 
         params = jax.tree_util.tree_map(jnp.asarray, quantize_params(params, bits=bits))
-        # halved (int8) weight HBM -> 2x windows: B=40 measured safe (48
-        # leaves <200 MB slack). int4 is pinned at B=32: B=64/48 CRASH the
-        # remote compile helper (tpu_compile_helper exit 1 after ~6 min)
-        # and B=40 hangs its compile >10 min — measured r4, PERF.md "int4
-        # decode"; the capacity extrapolation does not survive contact with
-        # this runtime's compiler, so int4's win is weight FOOTPRINT
-        # (0.9 GB vs 1.6), not throughput.
-        batch_ladder = [40] if bits == 8 else [32]
+        # int8: both candidate batches measured interleaved below. int4 is
+        # pinned at B=32: B=64/48 CRASH the remote compile helper
+        # (tpu_compile_helper exit 1 after ~6 min) and B=40 hangs its
+        # compile >10 min — measured r4, PERF.md "int4 decode"; int4's win
+        # is weight FOOTPRINT (0.9 GB vs 1.6), not throughput.
+        batch_ladder = [48, 40] if bits == 8 else [32]
     else:
         # load-time decoder qkv fusion (2 fewer launches per self-attn
         # site); quantized kernels skip it inside fuse_qkv_params
@@ -269,27 +271,31 @@ def bench_whisper_decode(bits: int = 0):
     prompt = [cfg.sot, cfg.no_timestamps]
 
     fn = jax.jit(lambda p, m: whisper.greedy_decode(p, m, cfg, prompt, max_tokens=W_DEC_TOKENS))
-    B = None
+    candidates = []  # (B, mel) that compiled and ran
     for try_b in batch_ladder:
         mel = jnp.asarray(rng.randn(try_b, cfg.n_mels, n_frames).astype(np.float32) * 0.1)
         try:
             toks, lens = fn(params, mel)
             int(np.asarray(lens)[0])
-            B = try_b
-            break
-        except Exception as e:  # OOM at this batch: step down the ladder
+            candidates.append((try_b, mel))
+        except Exception as e:  # OOM/compile failure at this batch
             log(f"whisper decode[bits={bits}] B={try_b} failed: {type(e).__name__}")
             continue
-    assert B is not None, "no batch size fit"
-    times = []
-    for _ in range(TIMED_CALLS):
-        t0 = time.perf_counter()
-        toks, lens = fn(params, mel)
-        _ = int(np.asarray(lens).sum())  # sync
-        times.append(time.perf_counter() - t0)
+    assert candidates, "no batch size fit"
     tag = {0: "bf16", 8: "int8", 4: "int4"}[bits]
-    log(f"whisper decode[{tag}]: B={B}, per-call s {['%.2f' % t for t in times]}")
-    audio_s_per_s = median_rate(B * window_s, times)
+    times = {b: [] for b, _ in candidates}
+    for _rnd in range(TIMED_CALLS):  # interleaved: relay drift hits all Bs equally
+        for b, mel in candidates:
+            t0 = time.perf_counter()
+            toks, lens = fn(params, mel)
+            _ = int(np.asarray(lens).sum())  # sync
+            times[b].append(time.perf_counter() - t0)
+    rates = {b: median_rate(b * window_s, times[b]) for b, _ in candidates}
+    for b, _ in candidates:
+        log(f"whisper decode[{tag}]: B={b}, per-call s {['%.2f' % t for t in times[b]]} -> {rates[b]:.1f} audio-s/s")
+    B = max(rates, key=rates.get)
+    audio_s_per_s = rates[B]
+    log(f"whisper decode[{tag}]: pinned B={B}")
     flops = B * whisper_decode_flops_per_window(cfg, n_frames, len(prompt), W_DEC_TOKENS)
     return audio_s_per_s, flops * audio_s_per_s / (B * window_s)
 
@@ -373,17 +379,20 @@ def _synthetic_lexicon_lm(n_words=12000, order=3):
 # amortizes the beam scan's per-frame fixed costs 3x better than the train
 # batch of 32 (measured: 777 -> 1646 audio-s/s synchronous)
 DEC_BATCH = 96
-BEAM_ROUNDS = 3
+BEAM_ROUNDS = 4
 BEAM_CALLS_PER_ROUND = 2
 
 
 def bench_ctc_beam_all():
-    """wav2vec2-base forward + on-device CTC beam search (beam 16), three
-    modes measured INTERLEAVED round-robin — plain, lexicon-constrained,
-    lexicon+word-LM — so a relay stall hits all modes equally and a strict
-    subset can never report slower than its superset (the r3 anomaly:
-    lexicon-only 'measured' 1.75x slower than lexicon+LM in a single-shot
-    run). Median over rounds per mode.
+    """On-device CTC beam search (beam 16), FOUR modes measured INTERLEAVED
+    round-robin — wav2vec2-base plain, lexicon-constrained, lexicon+word-LM,
+    and conformer-large plain — so a relay stall hits all modes equally: a
+    strict subset can never report slower than its superset (the r3
+    anomaly), and the conformer line can no longer swing 2.2x against the
+    wav2vec2 line purely on relay drift (VERDICT r4 weak #3 — its lone
+    3-call median spanned 2204-4090 across runs while sharing the exact
+    beam engine). Median over rounds per mode; per-round times logged so a
+    drifting round is visible in the record.
 
     PIPELINED like production decoding: each measurement enqueues
     BEAM_CALLS_PER_ROUND encoder+beam programs before any host fetch
@@ -392,49 +401,67 @@ def bench_ctc_beam_all():
     import jax.numpy as jnp
 
     from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
-    from ssak_tpu.models import wav2vec2
-    from ssak_tpu.utils.flops import ctc_decode_flops_per_audio_second
+    from ssak_tpu.models import conformer, wav2vec2
+    from ssak_tpu.utils.flops import (
+        conformer_train_flops_per_audio_second,
+        ctc_decode_flops_per_audio_second,
+    )
 
     cfg = wav2vec2.make_config("base", vocab_size=48)
     params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = conformer.make_config("large", vocab_size=128)
+    cparams = conformer.init_params(jax.random.PRNGKey(0), ccfg)
     rng = np.random.RandomState(0)
     T = SECONDS * SR
     audio = jnp.asarray(rng.randn(DEC_BATCH, T).astype(np.float32) * 0.1)
     lens = jnp.full((DEC_BATCH,), T, jnp.int32)
 
     _w, _lm, tables, wlm = _synthetic_lexicon_lm()
-    mode_kw = {
-        "plain": {},
-        "lexicon": {"lexicon_tables": tables},
-        "wordlm": {"lexicon_tables": tables, "word_lm": wlm},
-    }
 
     @jax.jit
-    def logits_fn(params, audio, lens):
+    def w2v_logits(params, audio, lens):
         return wav2vec2.ctc_log_probs(params, audio, cfg, lens)
 
-    lp, fl = logits_fn(params, audio, lens)
-    for m, kw in mode_kw.items():  # compile + table upload per mode
-        ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, **kw)
+    @jax.jit
+    def conf_logits(params, audio, lens):
+        return conformer.ctc_log_probs(params, audio, ccfg, lens)
+
+    # mode -> (logits_fn, params, blank_id, beam kwargs, flops/audio-s)
+    modes = {
+        "plain": (w2v_logits, params, cfg.blank_id, {}, ctc_decode_flops_per_audio_second(cfg)),
+        "lexicon": (w2v_logits, params, cfg.blank_id, {"lexicon_tables": tables},
+                    ctc_decode_flops_per_audio_second(cfg)),
+        "wordlm": (w2v_logits, params, cfg.blank_id, {"lexicon_tables": tables, "word_lm": wlm},
+                   ctc_decode_flops_per_audio_second(cfg)),
+        # conformer decode = encoder forward only (~1/3 of its train FLOPs)
+        "conformer": (conf_logits, cparams, ccfg.blank_id, {},
+                      conformer_train_flops_per_audio_second(ccfg) / 3.0),
+    }
+
+    for m, (lfn, p, blank, kw, _f) in modes.items():  # compile + table upload
+        lp, fl = lfn(p, audio, lens)
+        ctc_beam_search_device(lp, fl, beam_width=16, blank_id=blank, **kw)
         log(f"ctc beam[{m}] warmed")
-    times = {m: [] for m in mode_kw}
+    times = {m: [] for m in modes}
     for rnd in range(BEAM_ROUNDS):
-        for m, kw in mode_kw.items():
+        for m, (lfn, p, blank, kw, _f) in modes.items():
             t0 = time.perf_counter()
             handles = []
             for _ in range(BEAM_CALLS_PER_ROUND):
-                lp, fl = logits_fn(params, audio, lens)
+                lp, fl = lfn(p, audio, lens)
                 handles.append(ctc_beam_search_device(
-                    lp, fl, beam_width=16, blank_id=cfg.blank_id, return_async=True, **kw))
+                    lp, fl, beam_width=16, blank_id=blank, return_async=True, **kw))
             done = [h.result() for h in handles]  # fetch + backtrace = full sync
             dt = (time.perf_counter() - t0) / BEAM_CALLS_PER_ROUND
             assert all(int(tl.sum()) >= 0 for _t, tl in done)
             times[m].append(dt)
             log(f"ctc beam16[{m}] round {rnd}: {dt*1000:.0f} ms/batch of {DEC_BATCH}x{SECONDS}s")
     out = {}
-    for m in mode_kw:
+    for m, (_lfn, _p, _blank, _kw, flops_per_audio_s) in modes.items():
         rate = median_rate(DEC_BATCH * SECONDS, times[m])
-        out[m] = (rate, rate * ctc_decode_flops_per_audio_second(cfg))
+        spread = max(times[m]) / min(times[m])
+        log(f"ctc beam16[{m}]: median {rate:.0f} audio-s/s, round spread x{spread:.2f}")
+        out[m] = (rate, rate * flops_per_audio_s)
     return out
 
 
@@ -513,6 +540,56 @@ def bench_sak_infer_e2e():
                 f"(setup + batch 1), {(total_s - total_s/8)/(dt - t_first):.0f} audio-s/s steady-state")
         log(f"sak-infer e2e: {total_s:.0f} audio-s, per-pass s {['%.2f' % t for t in times]}")
         assert len(out) == n_files
+
+        # ---- ragged-duration realism variant (VERDICT r4 next #7) ------
+        # Real Kaldi dirs are ragged; the pow2 width bucketing + samples-
+        # budget packing exist for exactly that case but the main corpus
+        # (6-10 s) never exercises them. One warm + one timed pass over a
+        # 3-28 s log-uniform corpus, with the PACKING EFFICIENCY
+        # (real / padded device samples, the reference's sort-by-length
+        # batching rationale, dataset.py:278-291) logged for the record.
+        rag_dir = os.path.join(tmp, "ragged")
+        os.makedirs(rag_dir)
+        rkal = os.path.join(tmp, "kaldi_ragged")
+        os.makedirs(rkal)
+        rag_total, rag_lens = 0.0, []
+        with open(os.path.join(rkal, "wav.scp"), "w") as scp:
+            for i in range(192):
+                dur = float(np.exp(rng.uniform(np.log(3.0), np.log(28.0))))
+                rag_total += dur
+                a = (rng.randn(int(dur * SR)) * 0.1).astype(np.float32)
+                p = os.path.join(rag_dir, f"rag{i:04d}.wav")
+                save_audio(p, a, sample_rate=SR)
+                rag_lens.append(int(dur * SR))
+                scp.write(f"rag{i:04d} {p}\n")
+
+        def packing_ratio(lens_order):
+            """Real/padded samples under the production packer + the
+            _encode_padded bucket/pow2-row padding."""
+            from ssak_tpu.infer.ctc_infer import (
+                AUTO_BATCH_SECONDS, AUTO_MAX_ROWS, _bucket_len, _next_pow2, auto_pack_batches)
+
+            padded = 0
+            for batch, _ids in auto_pack_batches(((np.empty(n), i) for i, n in enumerate(lens_order))):
+                pad_to = _bucket_len(max(len(a) for a in batch))
+                cap = max(1, min(AUTO_MAX_ROWS, int(AUTO_BATCH_SECONDS * SR) // pad_to))
+                W = max(len(batch), min(_next_pow2(len(batch)), cap))
+                padded += W * pad_to
+            return sum(lens_order) / padded
+
+        log(f"sak-infer e2e ragged: packing efficiency {packing_ratio(rag_lens):.2f} unsorted, "
+            f"{packing_ratio(sorted(rag_lens)):.2f} sorted-by-length "
+            f"(uniform main corpus: ~{packing_ratio([int(rng.uniform(6, 10) * SR) for _ in range(768)]):.2f})")
+        t0 = time.perf_counter()
+        rout, _ = run(rkal)  # warm: new (bucket, rows) programs compile here
+        log(f"sak-infer e2e ragged warm pass: {len(rout)} utts in {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        rout, rt_first = run(rkal)
+        rdt = time.perf_counter() - t0
+        assert len(rout) == 192
+        log(f"sak-infer e2e ragged pass: {rag_total:.0f} audio-s in {rdt:.2f}s = "
+            f"{rag_total/rdt:.0f} audio-s/s ({rt_first:.2f}s to first)")
+
         return median_rate(total_s, times), None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -641,45 +718,159 @@ def bench_conformer_train():
     return audio_s_per_s, audio_s_per_s * conformer_train_flops_per_audio_second(cfg)
 
 
-def bench_conformer_decode():
-    """Conformer-large encoder + on-device beam-16 decode — the third model
-    family's INFERENCE line (VERDICT r3 next #7; the reference decodes
-    nemo conformer greedy_batch). Shares the CTC beam engine; pipelined
-    with return_async like the wav2vec2 line."""
+def bench_sak_train_e2e():
+    """END-TO-END CTC training: real wav files in a Kaldi dir -> GRADIENTS
+    through the production CTCTrainer — manifest parse, bucketed batching,
+    label encode (pow2 widths), on-device SpecAugment, int16 wire h2d,
+    prefetch-threaded ingest, donated train step — at the headline config
+    (wav2vec2-base dims, batch 32 x 10 s bucket). The decode CLI's r4
+    bench-to-product treatment applied to training (VERDICT r4 weak #1 /
+    next #1): the headline 1677 line is measured with the batch resident
+    on device; THIS line streams a fresh batch per step, exactly as
+    sak-train does (reference wav2vec_train.py:415 hot loop +
+    utils/dataset.py:498 feeding pipeline). Warm pass compiles; each timed
+    pass is one epoch over the corpus."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from ssak_tpu.audio.io import save_audio
+    from ssak_tpu.data.dataset import kaldi_folder_to_manifest
+    from ssak_tpu.models import wav2vec2
+    from ssak_tpu.models.tokenizer import CTCTokenizer
+    from ssak_tpu.train.loop import CTCTrainer
+    from ssak_tpu.utils.flops import wav2vec2_train_flops_per_audio_second
+
+    tmp = tempfile.mkdtemp(prefix="ssak_te2e_")
+    try:
+        rng = np.random.RandomState(0)
+        wav_dir = os.path.join(tmp, "wavs")
+        os.makedirs(wav_dir)
+        kal = os.path.join(tmp, "kaldi")
+        os.makedirs(kal)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        words = ["".join(alphabet[i] for i in rng.randint(0, 26, 6)) for _ in range(400)]
+        # 256 files = 8 batches of 32: per-pass fixed cost amortizes and
+        # the prefetch thread gets real lead; 9-10 s durations all land in
+        # the 10 s bucket (the headline shape). Fixed 12-word texts keep
+        # every batch in ONE pow2 label width (no mid-timing compiles).
+        n_files, total_s = 256, 0.0
+        with open(os.path.join(kal, "wav.scp"), "w") as scp, \
+             open(os.path.join(kal, "text"), "w", encoding="utf-8") as txt:
+            for i in range(n_files):
+                dur = float(rng.uniform(9.0, 10.0))
+                total_s += dur
+                a = (rng.randn(int(dur * SR)) * 0.1).astype(np.float32)
+                p = os.path.join(wav_dir, f"utt{i:04d}.wav")
+                save_audio(p, a, sample_rate=SR)
+                scp.write(f"utt{i:04d} {p}\n")
+                txt.write(f"utt{i:04d} " + " ".join(rng.choice(words, size=12)) + "\n")
+
+        _meta, rows = kaldi_folder_to_manifest(kal)
+        assert len(rows) == n_files
+        tok = CTCTokenizer.from_corpus([r["text"] for r in rows])
+        cfg = wav2vec2.make_config("base", vocab_size=48)
+        params = wav2vec2.init_params(jax.random.PRNGKey(0), cfg)
+        trainer = CTCTrainer(
+            cfg, params, tok, output_dir=os.path.join(tmp, "run"),
+            batch_size=BATCH, total_steps=10**9, eval_steps=0,
+            buckets=(10.0,), seed=0,
+        )
+
+        def run_pass(pass_rows):
+            n_batches = (len(pass_rows) + BATCH - 1) // BATCH
+            gcur = int(np.asarray(trainer.state["step"]))
+            t0 = time.perf_counter()
+            trainer.train(pass_rows, eval_rows=None, max_steps=gcur + n_batches,
+                          log_interval=10**9, final_save=False)
+            return time.perf_counter() - t0
+
+        dt = run_pass(rows[:BATCH])  # warm: compiles the (32, 160k) step
+        log(f"sak-train e2e warm pass: {dt:.1f}s")
+        times = []
+        for _ in range(2):
+            dt = run_pass(rows)
+            times.append(dt)
+            log(f"sak-train e2e pass: {dt:.2f}s for {total_s:.0f} audio-s "
+                f"({total_s/dt:.0f} audio-s/s files->gradients)")
+        rate = median_rate(total_s, times)
+        return rate, rate * wav2vec2_train_flops_per_audio_second(cfg)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_sak_whisper_train_e2e():
+    """END-TO-END Whisper LoRA fine-tune at large-v3 dims: real ~30 s wav
+    files -> ADAPTER GRADIENTS through the whisper_loop machinery — the
+    WhisperBatcher (file ingest, int16 wire, on-device mel, teacher-forced
+    token tensors), prefetch thread, and the partitioned donated step —
+    the files->gradients line for the second trainer product path
+    (VERDICT r4 next #6; reference train/transformers/whisper_train.py).
+    The batcher+step pair is constructed ONCE (train_whisper's own inner
+    loop, lines it executes verbatim) so timed passes reuse the compiled
+    step the way a real run's steps 2..N do."""
+    import shutil
+    import tempfile
+
     import jax
     import jax.numpy as jnp
+    import optax
 
-    from ssak_tpu.decode.ctc_beam import ctc_beam_search_device
-    from ssak_tpu.models import conformer
-    from ssak_tpu.utils.flops import conformer_train_flops_per_audio_second
+    from ssak_tpu.audio.io import save_audio
+    from ssak_tpu.data.prefetch import prefetch_iterator
+    from ssak_tpu.models import whisper
+    from ssak_tpu.models.lora import add_lora
+    from ssak_tpu.train.steps import init_train_state, make_whisper_train_step
+    from ssak_tpu.train.whisper_loop import WhisperBatcher
 
-    cfg = conformer.make_config("large", vocab_size=128)
-    params = conformer.init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(0)
-    T = SECONDS * SR
-    audio = jnp.asarray(rng.randn(DEC_BATCH, T).astype(np.float32) * 0.1)
-    lens = jnp.full((DEC_BATCH,), T, jnp.int32)
+    tmp = tempfile.mkdtemp(prefix="ssak_wte2e_")
+    try:
+        rng = np.random.RandomState(0)
+        wav_dir = os.path.join(tmp, "wavs")
+        os.makedirs(wav_dir)
+        # 32 files = 8 batches of 4 (the headline LoRA batch)
+        n_files, total_s, rows = 32, 0.0, []
+        for i in range(n_files):
+            dur = 29.5
+            total_s += dur
+            a = (rng.randn(int(dur * SR)) * 0.1).astype(np.float32)
+            p = os.path.join(wav_dir, f"utt{i:04d}.wav")
+            save_audio(p, a, sample_rate=SR)
+            rows.append({"id": f"utt{i:04d}", "audio": p,
+                         "text": "lorem ipsum dolor sit amet " * 8})
 
-    @jax.jit
-    def logits_fn(params, audio, lens):
-        return conformer.ctc_log_probs(params, audio, cfg, lens)
+        cfg = whisper.make_config("large-v3", remat=True)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), whisper.init_params(jax.random.PRNGKey(0), cfg))
+        params = add_lora(params, rank=16, key=jax.random.PRNGKey(1))
+        opt = optax.adamw(1e-4)
+        step_fn = make_whisper_train_step(cfg, opt, quantized=True)  # partitioned: LoRA trains
+        state = init_train_state(params, opt, quantized=True)
+        # U = 224 teacher-forced tokens, matching the device-only headline
+        batcher = WhisperBatcher(cfg, None, batch_size=W_BATCH, max_tokens=W_TOKENS - 3)
 
-    lp, fl = logits_fn(params, audio, lens)
-    ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id)  # warm
-    times = []
-    for _ in range(TIMED_CALLS):
-        t0 = time.perf_counter()
-        handles = []
-        for _ in range(BEAM_CALLS_PER_ROUND):
-            lp, fl = logits_fn(params, audio, lens)
-            handles.append(ctc_beam_search_device(lp, fl, beam_width=16, blank_id=cfg.blank_id, return_async=True))
-        done = [h.result() for h in handles]
-        assert all(int(tl.sum()) >= 0 for _t, tl in done)
-        times.append((time.perf_counter() - t0) / BEAM_CALLS_PER_ROUND)
-    log(f"conformer beam16 decode: per-batch s {['%.2f' % t for t in times]}")
-    audio_s_per_s = median_rate(DEC_BATCH * SECONDS, times)
-    # decode = encoder forward only (~1/3 of the train FLOPs per audio-s)
-    return audio_s_per_s, audio_s_per_s * conformer_train_flops_per_audio_second(cfg) / 3.0
+        def run_pass(pass_rows):
+            nonlocal state
+            t0 = time.perf_counter()
+            metrics = None
+            for batch, _chunk in prefetch_iterator(batcher.batches(pass_rows)):
+                state, metrics = step_fn(state, batch)
+            lv = float(metrics["loss"])  # value fetch = true sync
+            assert np.isfinite(lv)
+            return time.perf_counter() - t0
+
+        dt = run_pass(rows[:W_BATCH])  # warm: the multi-minute large-v3 compile
+        log(f"sak-whisper-train e2e warm pass: {dt:.1f}s")
+        times = []
+        for _ in range(2):
+            dt = run_pass(rows)
+            times.append(dt)
+            log(f"sak-whisper-train e2e pass: {dt:.2f}s for {total_s:.0f} audio-s "
+                f"({total_s/dt:.0f} audio-s/s files->gradients)")
+        return median_rate(total_s, times), None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_torch_cpu_baseline():
@@ -742,13 +933,14 @@ def main():
     ):
         run_section(name, fn, metric)
 
-    # CTC beam trio: one setup, interleaved measurement
+    # CTC beam quartet (incl. conformer): one setup, interleaved measurement
     ensure_healthy("ctc_beam_all")
     try:
         beam = bench_ctc_beam_all()
         for m, metric in (("plain", "ctc_beam16_decode_audio_s_per_s"),
                           ("lexicon", "ctc_beam16_lexicon_decode_audio_s_per_s"),
-                          ("wordlm", "ctc_beam16_wordlm_decode_audio_s_per_s")):
+                          ("wordlm", "ctc_beam16_wordlm_decode_audio_s_per_s"),
+                          ("conformer", "conformer_beam16_decode_audio_s_per_s")):
             value, flops_per_s = beam[m]
             lines.append(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
     except Exception as e:
@@ -757,7 +949,8 @@ def main():
     for name, fn, metric in (
         ("sak_infer_e2e", bench_sak_infer_e2e, "sak_infer_e2e_audio_s_per_s"),
         ("sak_whisper_e2e", bench_sak_whisper_e2e, "sak_whisper_e2e_audio_s_per_s"),
-        ("conformer_decode", bench_conformer_decode, "conformer_beam16_decode_audio_s_per_s"),
+        ("sak_train_e2e", bench_sak_train_e2e, "sak_train_e2e_audio_s_per_s"),
+        ("sak_whisper_train_e2e", bench_sak_whisper_train_e2e, "sak_whisper_train_e2e_audio_s_per_s"),
         ("ctc_train_large", partial(bench_ctc_train, preset="large", batch=16), "ctc_train_large_audio_s_per_s"),
         ("conformer_train", bench_conformer_train, "conformer_train_audio_s_per_s"),
     ):

@@ -16,6 +16,18 @@ import optax
 from ssak_tpu.ops.ctc_pallas import ctc_loss_fast as ctc_loss
 
 
+def audio_to_f32(a):
+    """Device-side decode of the int16 wire format: the remote runtime's
+    host->device link moves ~37 MB/s (measured — PERF.md), so train batches
+    ship as int16 PCM sample words (exact for file-sourced audio) and are
+    cast back to normalized f32 HERE, inside the compiled step. Float
+    audio (the |x|>1 guard path, or any direct caller) passes through
+    unchanged — the branch is resolved at trace time by dtype."""
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        return a.astype(jnp.float32) * (1.0 / 32768.0)
+    return a
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 0.01,
@@ -215,6 +227,7 @@ def make_ctc_train_step(
     from ssak_tpu.models import wav2vec2
 
     def loss_fn(params, batch, step):
+        audio = audio_to_f32(batch["audio"])
         if family == "conformer":
             from ssak_tpu.models import conformer
 
@@ -222,18 +235,18 @@ def make_ctc_train_step(
             if mask_time_prob > 0:
                 from ssak_tpu.augment.specaugment import mask_time_indices
 
-                B, T = batch["audio"].shape
+                B, T = audio.shape
                 F = conformer.subsampled_length(cfg, conformer.mel_frame_count(cfg, T))
                 key = jax.random.fold_in(jax.random.PRNGKey(0), step)
                 time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
             log_probs, frame_lengths = conformer.ctc_log_probs(
-                params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask)
+                params, audio, cfg, batch["audio_lengths"], time_mask=time_mask)
         else:
             time_mask = None
             if mask_time_prob > 0:
                 from ssak_tpu.augment.specaugment import mask_time_indices
 
-                B, T = batch["audio"].shape
+                B, T = audio.shape
                 F = wav2vec2.feature_extract_output_length(cfg, T)
                 key = jax.random.fold_in(jax.random.PRNGKey(0), step)
                 time_mask = mask_time_indices(key, (B, F), mask_prob=mask_time_prob, mask_length=mask_time_length)
@@ -241,7 +254,7 @@ def make_ctc_train_step(
             # backward in the model at 16 kHz sequence length) is never built
             aux = [] if getattr(cfg, "num_experts", 0) else None
             log_probs, frame_lengths = wav2vec2.ctc_log_probs(
-                params, batch["audio"], cfg, batch["audio_lengths"], time_mask=time_mask,
+                params, audio, cfg, batch["audio_lengths"], time_mask=time_mask,
                 freeze_feature_encoder=frozen_feature_encoder, aux_out=aux)
         loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
         if family != "conformer" and getattr(cfg, "num_experts", 0) and aux:
@@ -279,7 +292,7 @@ def make_ctc_eval_step(cfg, family: str = "wav2vec2"):
 
     @jax.jit
     def step(params, batch):
-        log_probs, frame_lengths = _family.ctc_log_probs(params, batch["audio"], cfg, batch["audio_lengths"])
+        log_probs, frame_lengths = _family.ctc_log_probs(params, audio_to_f32(batch["audio"]), cfg, batch["audio_lengths"])
         loss = ctc_loss(log_probs, frame_lengths, batch["labels"], batch["label_lengths"], blank_id=cfg.blank_id)
         tokens, lengths = ctc_greedy_decode(log_probs, frame_lengths, blank_id=cfg.blank_id)
         return {"loss": loss, "tokens": tokens, "token_lengths": lengths}

@@ -364,3 +364,10 @@ def test_auto_window_batch_scan_layers_cap(monkeypatch):
     assert auto_window_batch(cfg, beam_size=5) == 8            # 40 // 5
     assert auto_window_batch(cfg, beam_size=5, best_of=5) == 4  # retry program: stay at 20
     assert auto_window_batch(cfg) == 24                        # greedy unaffected
+    # explicit scan_layers overrides the env var: whisper_infer passes
+    # scan_layers=False under tensor parallelism (stacking is NOT applied
+    # there), so SSAK_SCAN_LAYERS=1 + --tp must keep the unrolled-program
+    # 20-row envelope (advisor r4)
+    assert auto_window_batch(cfg, beam_size=5, scan_layers=False) == 4
+    monkeypatch.delenv("SSAK_SCAN_LAYERS", raising=False)
+    assert auto_window_batch(cfg, beam_size=5, scan_layers=True) == 8
