@@ -784,6 +784,11 @@ def bench_sak_train_e2e():
             t0 = time.perf_counter()
             trainer.train(pass_rows, eval_rows=None, max_steps=gcur + n_batches,
                           log_interval=10**9, final_save=False)
+            # the non-blocking loop ENQUEUES steps and only syncs at log
+            # points; fetch the step counter VALUE so the clock stops when
+            # the last step has actually executed (CLAUDE.md: a value
+            # fetch is the only true synchronization on this runtime)
+            assert int(np.asarray(trainer.state["step"])) == gcur + n_batches
             return time.perf_counter() - t0
 
         dt = run_pass(rows[:BATCH])  # warm: compiles the (32, 160k) step

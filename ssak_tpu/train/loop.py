@@ -161,12 +161,17 @@ class CTCTrainer:
             # (steps.audio_to_f32).
             if x.size and float(np.abs(x).max()) <= 1.0:
                 x = np.rint(x * 32768.0).clip(-32768, 32767).astype(np.int16)
+            # audio seconds rides along as HOST data: the hot loop must not
+            # fetch device arrays between steps (each fetch drains the
+            # async dispatch queue — the device then idles over every host
+            # round trip)
+            audio_s = float(np.asarray(lens, np.float64).sum()) / self.sample_rate
             yield {
                 "audio": jnp.asarray(x),
                 "audio_lengths": jnp.asarray(lens),
                 "labels": jnp.asarray(labels),
                 "label_lengths": jnp.asarray(label_lens),
-            }, real
+            }, real, audio_s
 
     # --- eval -------------------------------------------------------------
 
@@ -174,7 +179,7 @@ class CTCTrainer:
         from ssak_tpu.eval.wer import compute_wer
 
         losses, refs, hyps = [], {}, {}
-        for batch, real in self._batches(eval_rows):
+        for batch, real, _audio_s in self._batches(eval_rows):
             out = self.eval_step(self.state["params"], batch)
             losses.append(float(out["loss"]))
             tokens = np.asarray(out["tokens"])
@@ -240,14 +245,20 @@ class CTCTrainer:
         epoch = int(self.epoch)
         from ssak_tpu.data.prefetch import prefetch_iterator
 
+        # host-side step counter: the hot loop must not fetch
+        # state["step"] (or anything else) from the device every step —
+        # on the remote runtime each fetch drains the async dispatch
+        # queue, serializing step N's compute against step N+1's h2d
+        # transfer (PERF.md "sak-train end-to-end"). The device counter
+        # stays the source of truth at resume/checkpoint time.
+        gstep = int(np.asarray(self.state["step"]))
         while not stop:
             # audio decode/augment/pad runs ahead in a worker thread while
             # the chip executes the previous step (input-pipeline overlap)
-            for batch, real in prefetch_iterator(self._batches(train_rows, shuffle_seed=self.seed + epoch)):
+            for batch, real, audio_s in prefetch_iterator(self._batches(train_rows, shuffle_seed=self.seed + epoch)):
                 step0 = time.perf_counter()
                 self.state, metrics = self.train_step(self.state, batch)
-                gstep = int(np.asarray(self.state["step"]))
-                audio_s = float(np.asarray(batch["audio_lengths"]).sum()) / self.sample_rate
+                gstep += 1
                 meter.update(audio_s)
                 if gstep % log_interval == 0 or gstep == 1:
                     entry = {

@@ -300,7 +300,7 @@ def test_trainer_batches_ship_int16(tmp_path):
         {"id": f"u{i}", "audio": "/root/reference/tests/data/audio/bonjour.wav", "text": "bonjour"}
         for i in range(2)
     ]
-    batch, real = next(tr._batches(rows))
+    batch, real, _audio_s = next(tr._batches(rows))
     assert batch["audio"].dtype == jnp.int16, "file-sourced train audio must ride the int16 wire"
     out = tr.eval_step(tr.state["params"], batch)
     assert np.isfinite(float(out["loss"]))
@@ -326,6 +326,6 @@ def test_trainer_batches_f32_guard_out_of_range(tmp_path):
         {"id": f"u{i}", "audio": "/root/reference/tests/data/audio/bonjour.wav", "text": "bonjour"}
         for i in range(2)
     ]
-    batch, real = next(tr._batches(rows))
+    batch, real, _audio_s = next(tr._batches(rows))
     assert batch["audio"].dtype == jnp.float32
     assert float(jnp.abs(batch["audio"]).max()) > 1.0
