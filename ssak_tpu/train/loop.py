@@ -13,7 +13,6 @@ misc.py:48).
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -256,7 +255,6 @@ class CTCTrainer:
             # audio decode/augment/pad runs ahead in a worker thread while
             # the chip executes the previous step (input-pipeline overlap)
             for batch, real, audio_s in prefetch_iterator(self._batches(train_rows, shuffle_seed=self.seed + epoch)):
-                step0 = time.perf_counter()
                 self.state, metrics = self.train_step(self.state, batch)
                 gstep += 1
                 meter.update(audio_s)

@@ -139,14 +139,17 @@ def train_whisper(
     batcher = WhisperBatcher(cfg, tokenizer, language=language, batch_size=batch_size, normalize_text=normalize_text)
 
     log_history = []
-    gstep = 0
+    # host-side step counter — fetching state["step"] per step drains the
+    # async dispatch queue and serializes compute against the next batch's
+    # transfer (PERF.md "sak-train end-to-end"; same fix as CTCTrainer)
+    gstep = int(np.asarray(state["step"]))
     epoch = 0
     from ssak_tpu.data.prefetch import prefetch_iterator
 
     while gstep < max_steps:
         for batch, _chunk in prefetch_iterator(batcher.batches(train_rows, seed=seed + epoch)):
             state, metrics = step_fn(state, batch)
-            gstep = int(np.asarray(state["step"]))
+            gstep += 1
             if gstep % log_interval == 0 or gstep == 1:
                 entry = {"step": gstep, "loss": round(float(metrics["loss"]), 4)}
                 log_history.append(entry)
