@@ -515,10 +515,11 @@ def bench_sak_infer_e2e():
                 paths.append(p)
                 scp.write(f"utt{i:04d} {p}\n")
 
-        def run(source):
+        def run(source, sort_by_len=False):
             gen = ctc_infer(
                 None, source, seeded_test_config="wav2vec2:base", output_ids=True,
                 beam_width=16, lm_path=arpa_path, lexicon_path=lex_path,
+                sort_by_len=sort_by_len,
             )
             t0 = time.perf_counter()
             first = next(gen)
@@ -580,15 +581,17 @@ def bench_sak_infer_e2e():
         log(f"sak-infer e2e ragged: packing efficiency {packing_ratio(rag_lens):.2f} unsorted, "
             f"{packing_ratio(sorted(rag_lens)):.2f} sorted-by-length "
             f"(uniform main corpus: ~{packing_ratio([int(rng.uniform(6, 10) * SR) for _ in range(768)]):.2f})")
-        t0 = time.perf_counter()
-        rout, _ = run(rkal)  # warm: new (bucket, rows) programs compile here
-        log(f"sak-infer e2e ragged warm pass: {len(rout)} utts in {time.perf_counter()-t0:.1f}s")
-        t0 = time.perf_counter()
-        rout, rt_first = run(rkal)
-        rdt = time.perf_counter() - t0
-        assert len(rout) == 192
-        log(f"sak-infer e2e ragged pass: {rag_total:.0f} audio-s in {rdt:.2f}s = "
-            f"{rag_total/rdt:.0f} audio-s/s ({rt_first:.2f}s to first)")
+        for sort_flag in (False, True):
+            tag = "sorted" if sort_flag else "unsorted"
+            t0 = time.perf_counter()
+            rout, _ = run(rkal, sort_by_len=sort_flag)  # warm: new (bucket, rows) programs
+            log(f"sak-infer e2e ragged[{tag}] warm pass: {len(rout)} utts in {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            rout, rt_first = run(rkal, sort_by_len=sort_flag)
+            rdt = time.perf_counter() - t0
+            assert len(rout) == 192
+            log(f"sak-infer e2e ragged[{tag}] pass: {rag_total:.0f} audio-s in {rdt:.2f}s = "
+                f"{rag_total/rdt:.0f} audio-s/s ({rt_first:.2f}s to first)")
 
         return median_rate(total_s, times), None
     finally:
@@ -915,22 +918,47 @@ def bench_torch_cpu_baseline():
     return value
 
 
-def main():
+def main(argv=None):
+    import argparse
+    import gc
+
     import jax
 
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None,
+                   help="comma-separated section names to run (default: all)")
+    args = p.parse_args(argv)
+    only = set(args.only.split(",")) if args.only else None
+
     log(f"jax devices: {jax.devices()}")
-    lines = []
+
+    def emit(rec):
+        # print IMMEDIATELY: a section crash (e.g. an OOM on a fragmented
+        # HBM) must not lose the lines already measured
+        print(json.dumps(rec), flush=True)
 
     def run_section(name, fn, metric):
+        if only is not None and name not in only:
+            return
+        # drop compiled executables + dead buffers between sections:
+        # each section warms its own programs, and the big-model sections
+        # fragment HBM for their successors otherwise (measured: the
+        # whisper LoRA e2e OOMed after the int8/int4/accurate sections
+        # but runs fine standalone)
+        gc.collect()
+        jax.clear_caches()
         ensure_healthy(name)
         try:
             value, flops_per_s = fn()
-            lines.append(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
+            emit(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
         except Exception as e:
             log(f"{name} failed: {type(e).__name__}: {e}")
 
     for name, fn, metric in (
         ("whisper_lora_train", bench_whisper_lora_train, "whisper_large3_lora_train_audio_s_per_s"),
+        # same memory profile as the LoRA train section; runs BEFORE the
+        # decode sections fragment HBM
+        ("sak_whisper_train_e2e", bench_sak_whisper_train_e2e, "sak_whisper_train_e2e_audio_s_per_s"),
         ("whisper_decode", bench_whisper_decode, "whisper_large3_greedy_decode_audio_s_per_s"),
         ("whisper_int8_decode", partial(bench_whisper_decode, bits=8), "whisper_large3_int8_decode_audio_s_per_s"),
         ("whisper_int4_decode", partial(bench_whisper_decode, bits=4), "whisper_large3_int4_decode_audio_s_per_s"),
@@ -939,39 +967,42 @@ def main():
         run_section(name, fn, metric)
 
     # CTC beam quartet (incl. conformer): one setup, interleaved measurement
-    ensure_healthy("ctc_beam_all")
-    try:
-        beam = bench_ctc_beam_all()
-        for m, metric in (("plain", "ctc_beam16_decode_audio_s_per_s"),
-                          ("lexicon", "ctc_beam16_lexicon_decode_audio_s_per_s"),
-                          ("wordlm", "ctc_beam16_wordlm_decode_audio_s_per_s"),
-                          ("conformer", "conformer_beam16_decode_audio_s_per_s")):
-            value, flops_per_s = beam[m]
-            lines.append(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
-    except Exception as e:
-        log(f"ctc_beam_all failed: {type(e).__name__}: {e}")
+    if only is None or "ctc_beam_all" in only:
+        gc.collect()
+        jax.clear_caches()
+        ensure_healthy("ctc_beam_all")
+        try:
+            beam = bench_ctc_beam_all()
+            for m, metric in (("plain", "ctc_beam16_decode_audio_s_per_s"),
+                              ("lexicon", "ctc_beam16_lexicon_decode_audio_s_per_s"),
+                              ("wordlm", "ctc_beam16_wordlm_decode_audio_s_per_s"),
+                              ("conformer", "conformer_beam16_decode_audio_s_per_s")):
+                value, flops_per_s = beam[m]
+                emit(_line(metric, value, "audio_seconds/s/chip", flops_per_s))
+        except Exception as e:
+            log(f"ctc_beam_all failed: {type(e).__name__}: {e}")
 
     for name, fn, metric in (
         ("sak_infer_e2e", bench_sak_infer_e2e, "sak_infer_e2e_audio_s_per_s"),
         ("sak_whisper_e2e", bench_sak_whisper_e2e, "sak_whisper_e2e_audio_s_per_s"),
         ("sak_train_e2e", bench_sak_train_e2e, "sak_train_e2e_audio_s_per_s"),
-        ("sak_whisper_train_e2e", bench_sak_whisper_train_e2e, "sak_whisper_train_e2e_audio_s_per_s"),
         ("ctc_train_large", partial(bench_ctc_train, preset="large", batch=16), "ctc_train_large_audio_s_per_s"),
         ("conformer_train", bench_conformer_train, "conformer_train_audio_s_per_s"),
     ):
         run_section(name, fn, metric)
 
-    ensure_healthy("ctc_train_headline")
-    value, flops_per_s = bench_ctc_train()
-    try:
-        baseline = bench_torch_cpu_baseline()
-    except Exception as e:
-        log(f"baseline measurement failed: {e}")
-        baseline = None
-    vs = round(value / baseline, 3) if baseline else None
-    lines.append(_line("ctc_train_audio_s_per_s", value, "audio_seconds/s/chip", flops_per_s, vs))
-    for rec in lines:
-        print(json.dumps(rec))
+    if only is None or "ctc_train_headline" in only:
+        gc.collect()
+        jax.clear_caches()
+        ensure_healthy("ctc_train_headline")
+        value, flops_per_s = bench_ctc_train()
+        try:
+            baseline = bench_torch_cpu_baseline()
+        except Exception as e:
+            log(f"baseline measurement failed: {e}")
+            baseline = None
+        vs = round(value / baseline, 3) if baseline else None
+        emit(_line("ctc_train_audio_s_per_s", value, "audio_seconds/s/chip", flops_per_s, vs))
 
 
 if __name__ == "__main__":
