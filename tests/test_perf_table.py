@@ -65,3 +65,31 @@ def test_render_table_ranges(tmp_path):
     table = pt.render_table([str(a), str(b)])
     assert "1600-1677" in table
     assert "27%" in table  # tflops/mfu from the newest source that has them
+
+
+def test_check_guards(tmp_path):
+    """check() enforces (1) self-consistency with the cited sources and
+    (2) a tolerance band against the newest driver record — a regression
+    or a hand-edited number fails, ordinary relay drift does not."""
+    pt = _load_tool()
+    pt.REPO = str(tmp_path)
+    pt.PERF = str(tmp_path / "PERF.md")
+    src = tmp_path / "bench_r01_local.jsonl"
+    src.write_text('{"metric": "ctc_train_audio_s_per_s", "value": 1000.0, "unit": "x"}\n')
+    block = pt.render_table([str(src)])
+    (tmp_path / "PERF.md").write_text("# doc\n\n" + block + "\n\nprose\n")
+    assert pt.check() == 0  # no BENCH record yet: self-consistency only
+
+    newer = tmp_path / "BENCH_r02.json"
+    newer.write_text(json.dumps(
+        {"tail": '{"metric": "ctc_train_audio_s_per_s", "value": 1150.0, "unit": "x"}\n'}))
+    assert pt.check() == 0  # +15%: inside the relay-drift band
+
+    newer.write_text(json.dumps(
+        {"tail": '{"metric": "ctc_train_audio_s_per_s", "value": 200.0, "unit": "x"}\n'}))
+    assert pt.check() == 1  # 5x regression: outside the band
+
+    newer.unlink()
+    doc = (tmp_path / "PERF.md").read_text().replace("| 1000 |", "| 9999 |")
+    (tmp_path / "PERF.md").write_text(doc)
+    assert pt.check() == 1  # hand edit: self-consistency fails
