@@ -284,14 +284,25 @@ def bench_whisper_decode(bits: int = 0):
     assert candidates, "no batch size fit"
     tag = {0: "bf16", 8: "int8", 4: "int4"}[bits]
     times = {b: [] for b, _ in candidates}
+    dead = set()
     for _rnd in range(TIMED_CALLS):  # interleaved: relay drift hits all Bs equally
         for b, mel in candidates:
-            t0 = time.perf_counter()
-            toks, lens = fn(params, mel)
-            _ = int(np.asarray(lens).sum())  # sync
-            times[b].append(time.perf_counter() - t0)
-    rates = {b: median_rate(b * window_s, times[b]) for b, _ in candidates}
-    for b, _ in candidates:
+            if b in dead:
+                continue
+            try:
+                t0 = time.perf_counter()
+                toks, lens = fn(params, mel)
+                _ = int(np.asarray(lens).sum())  # sync
+                times[b].append(time.perf_counter() - t0)
+            except Exception as e:
+                # a candidate at the HBM edge (B=48) can pass its warm
+                # probe and still die mid-rotation; losing IT must not
+                # lose the other candidate's already-collected rounds
+                log(f"whisper decode[{tag}] B={b} died mid-rotation: {type(e).__name__}")
+                dead.add(b)
+    rates = {b: median_rate(b * window_s, times[b]) for b, _ in candidates if times[b]}
+    assert rates, "every candidate batch died during timing"
+    for b in rates:
         log(f"whisper decode[{tag}]: B={b}, per-call s {['%.2f' % t for t in times[b]]} -> {rates[b]:.1f} audio-s/s")
     B = max(rates, key=rates.get)
     audio_s_per_s = rates[B]
@@ -565,16 +576,14 @@ def bench_sak_infer_e2e():
                 scp.write(f"rag{i:04d} {p}\n")
 
         def packing_ratio(lens_order):
-            """Real/padded samples under the production packer + the
-            _encode_padded bucket/pow2-row padding."""
-            from ssak_tpu.infer.ctc_infer import (
-                AUTO_BATCH_SECONDS, AUTO_MAX_ROWS, _bucket_len, _next_pow2, auto_pack_batches)
+            """Real/padded samples under the PRODUCTION packer and padding
+            arithmetic (auto_pack_batches + padded_batch_shape — no
+            duplicated formula that could drift from the packer)."""
+            from ssak_tpu.infer.ctc_infer import auto_pack_batches, padded_batch_shape
 
             padded = 0
             for batch, _ids in auto_pack_batches(((np.empty(n), i) for i, n in enumerate(lens_order))):
-                pad_to = _bucket_len(max(len(a) for a in batch))
-                cap = max(1, min(AUTO_MAX_ROWS, int(AUTO_BATCH_SECONDS * SR) // pad_to))
-                W = max(len(batch), min(_next_pow2(len(batch)), cap))
+                W, pad_to = padded_batch_shape([len(a) for a in batch], sample_rate=SR)
                 padded += W * pad_to
             return sum(lens_order) / padded
 
@@ -924,11 +933,22 @@ def main(argv=None):
 
     import jax
 
+    SECTIONS = (
+        "whisper_lora_train", "sak_whisper_train_e2e", "whisper_decode",
+        "whisper_int8_decode", "whisper_int4_decode", "whisper_accurate",
+        "ctc_beam_all", "sak_infer_e2e", "sak_whisper_e2e", "sak_train_e2e",
+        "ctc_train_large", "conformer_train", "ctc_train_headline",
+    )
     p = argparse.ArgumentParser()
     p.add_argument("--only", default=None,
-                   help="comma-separated section names to run (default: all)")
+                   help="comma-separated section names to run (default: all); one of: " + ", ".join(SECTIONS))
     args = p.parse_args(argv)
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(SECTIONS)
+        if unknown:
+            # a typo or a removed section must not exit 0 with zero lines
+            raise SystemExit(f"unknown bench section(s): {sorted(unknown)}; known: {list(SECTIONS)}")
 
     log(f"jax devices: {jax.devices()}")
 

@@ -35,11 +35,7 @@ def _next_pow2(n: int) -> int:
     return w
 
 
-def _wire_int16_ok(a) -> bool:
-    """True when `a` is normalized audio that int16 represents without
-    clipping (file-sourced audio always is; raw user arrays may not be)."""
-    a = np.asarray(a)
-    return a.size == 0 or float(np.abs(a).max()) <= 1.0
+from ssak_tpu.audio.wire import int16_ok as _wire_int16_ok  # one wire definition (audio/wire.py)
 
 
 # Auto batch budget: decode has no optimizer/gradient HBM, so the batch is
@@ -85,6 +81,23 @@ def auto_pack_batches(rows, max_samples: int = None, max_rows: int = AUTO_MAX_RO
             batch, ids, cur_max = [], [], 0
     if batch:
         yield batch, ids
+
+
+def padded_batch_shape(lens, batch_size: int = 0, sample_rate: int = 16000):
+    """(rows W, columns pad_to) the device batch for `lens` will actually
+    have: columns pad to the duration bucket, rows pad to the next power
+    of 2 capped at the batch-size ceiling (explicit batch_size, or the
+    auto samples budget). The ONE definition of the padding arithmetic —
+    _encode_padded builds batches with it and bench.py's packing-
+    efficiency report derives padded cost from it, so the report can
+    never measure a scheme the packer no longer uses."""
+    pad_to = _bucket_len(max(lens))
+    if batch_size and batch_size > 0:
+        cap = batch_size
+    else:
+        cap = max(1, min(AUTO_MAX_ROWS, int(AUTO_BATCH_SECONDS * sample_rate) // pad_to))
+    W = max(len(lens), min(_next_pow2(len(lens)), cap))
+    return W, pad_to
 
 
 def ctc_compute_logits_chunked(model, audio: np.ndarray):
@@ -277,28 +290,14 @@ def ctc_infer(
         matter how ragged the corpus is. Returns (lp, fl) device arrays for
         the padded batch; callers slice [:len(batch)]."""
         lens = [len(a) for a in batch]
-        pad_to = _bucket_len(max(lens))
-        if batch_size and batch_size > 0:
-            cap = batch_size
-        else:
-            cap = max(1, min(AUTO_MAX_ROWS, int(AUTO_BATCH_SECONDS * model.sample_rate) // pad_to))
-        W = max(len(batch), min(_next_pow2(len(batch)), cap))
-        # int16 WIRE FORMAT: the remote-runtime host->device link moves
-        # ~37 MB/s (measured, PERF.md), so a 96x10s f32 batch costs 1.6 s —
-        # the whole steady-state gap between CLI and device-only bench.
-        # PCM-sourced audio is exactly representable in int16 (scale 32768
-        # round-trips the original sample words); the cast back to f32
-        # happens on device in compute_log_probas. Guard: user-passed
-        # arrays outside [-1, 1] (e.g. int16-scaled floats) would hard-clip
-        # — those ship as f32 unchanged instead.
-        if all(_wire_int16_ok(a) for a in batch):
-            x = np.zeros((W, pad_to), np.int16)
-            for i, a in enumerate(batch):
-                x[i, : len(a)] = np.rint(np.asarray(a, np.float32) * 32768.0).clip(-32768, 32767).astype(np.int16)
-        else:
-            x = np.zeros((W, pad_to), np.float32)
-            for i, a in enumerate(batch):
-                x[i, : len(a)] = a
+        W, pad_to = padded_batch_shape(lens, batch_size=batch_size, sample_rate=model.sample_rate)
+        # int16 WIRE FORMAT (audio/wire.py): a 96x10s f32 batch costs
+        # 1.6 s on the ~37 MB/s link — the whole steady-state gap between
+        # CLI and device-only bench (PERF.md). The cast back to f32
+        # happens on device in compute_log_probas.
+        from ssak_tpu.audio.wire import encode_rows
+
+        x = encode_rows(batch, W, pad_to)
         return compute_log_probas(model, jnp.asarray(x), jnp.asarray(lens + [0] * (W - len(batch)), np.int32))
 
     def submit(batch):

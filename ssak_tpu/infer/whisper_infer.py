@@ -296,22 +296,12 @@ def transcribe_longform_batch(
         while len(bufs) < W:
             bufs.append(bufs[0])
             plens.append(plens[0])
-        # host-side pad, ONE device transfer for the stacked batch, int16
-        # wire format when every row is normalized audio (remote h2d is
-        # ~37 MB/s — PERF.md); any |x|>1 row ships the batch as f32
-        from ssak_tpu.infer.ctc_infer import _wire_int16_ok
+        # host-side pad, ONE device transfer for the stacked batch in the
+        # int16 wire format (audio/wire.py; remote h2d is ~37 MB/s —
+        # PERF.md), decoded to f32 on device ahead of the mel matmuls
+        from ssak_tpu.audio.wire import encode_rows, to_device_f32
 
-        if all(_wire_int16_ok(c) for c in rows):
-            x = np.zeros((W, window_samples), np.int16)
-            for i, c in enumerate(rows):
-                x[i, : len(c)] = np.rint(np.asarray(c, np.float32) * 32768.0).clip(-32768, 32767).astype(np.int16)
-            audio_dev = jnp.asarray(x).astype(jnp.float32) * (1.0 / 32768.0)
-        else:
-            x = np.zeros((W, window_samples), np.float32)
-            for i, c in enumerate(rows):
-                x[i, : len(c)] = c
-            audio_dev = jnp.asarray(x)
-        mel = log_mel_spectrogram(audio_dev, n_mels=cfg.n_mels)
+        mel = log_mel_spectrogram(to_device_f32(encode_rows(rows, W, window_samples)), n_mels=cfg.n_mels)
         buf = np.stack(bufs)
 
         # temperature fallback over the active sub-batch: a retry decodes
@@ -542,27 +532,15 @@ def whisper_transcribe_batch(
         # ragged short-row counts would otherwise compile a multi-minute
         # large-v3 program per distinct width (same fix as the longform and
         # fallback sub-batches); dummy zero rows are sliced off below
-        from ssak_tpu.infer.ctc_infer import _next_pow2, _wire_int16_ok
+        from ssak_tpu.audio.wire import encode_rows, to_device_f32
+        from ssak_tpu.infer.ctc_infer import _next_pow2
 
         Wg = max(len(group), min(_next_pow2(len(group)), cap))
         # pad on host: ONE device transfer per group (a per-window
         # pad_or_trim round trip costs 2 transfers x windows on the
-        # latency-floor remote runtime), in the int16 wire format (the
-        # remote h2d link is ~37 MB/s — PERF.md; cast back on device).
-        # Non-normalized user arrays (|x|>1 would hard-clip) ship as f32.
-        if all(_wire_int16_ok(w) for w in group):
-            x = np.zeros((Wg, window_samples), np.int16)
-            for gi, w in enumerate(group):
-                n = min(len(w), window_samples)
-                x[gi, :n] = np.rint(np.asarray(w[:n], np.float32) * 32768.0).clip(-32768, 32767).astype(np.int16)
-            audio_dev = jnp.asarray(x).astype(jnp.float32) * (1.0 / 32768.0)
-        else:
-            x = np.zeros((Wg, window_samples), np.float32)
-            for gi, w in enumerate(group):
-                n = min(len(w), window_samples)
-                x[gi, :n] = w[:n]
-            audio_dev = jnp.asarray(x)
-        mel = log_mel_spectrogram(audio_dev, n_mels=cfg.n_mels)
+        # latency-floor remote runtime), in the int16 wire format
+        # (audio/wire.py; cast back to f32 on device)
+        mel = log_mel_spectrogram(to_device_f32(encode_rows(group, Wg, window_samples)), n_mels=cfg.n_mels)
         if greedy:
             # enqueue only — every group's decode is in flight before any
             # host fetch happens

@@ -150,16 +150,15 @@ class CTCTrainer:
                 pad = x.shape[0] - len(real)
                 labels = np.concatenate([labels, np.zeros((pad, labels.shape[1]), np.int32)])
                 label_lens = np.concatenate([label_lens, np.zeros((pad,), np.int32)])
-            # int16 WIRE FORMAT (same treatment the decode CLI got in r4 —
-            # VERDICT r4 weak #1): the remote h2d link moves ~37 MB/s
-            # (PERF.md), so a 32x10s f32 batch costs ~0.55 s against a
-            # 192 ms step; int16 halves the bytes and is EXACT for
-            # PCM-sourced audio. Augmented audio can exceed [-1, 1]
+            # int16 WIRE FORMAT (audio/wire.py): a 32x10s f32 batch costs
+            # ~0.55 s on the ~37 MB/s link against a 192 ms step (PERF.md
+            # "sak-train end-to-end"). Augmented audio can exceed [-1, 1]
             # (speed/reverb gain) — such batches ship as f32 unchanged.
             # The cast back to f32 happens inside the compiled step
             # (steps.audio_to_f32).
-            if x.size and float(np.abs(x).max()) <= 1.0:
-                x = np.rint(x * 32768.0).clip(-32768, 32767).astype(np.int16)
+            from ssak_tpu.audio.wire import encode_array
+
+            x = encode_array(x)
             # audio seconds rides along as HOST data: the hot loop must not
             # fetch device arrays between steps (each fetch drains the
             # async dispatch queue — the device then idles over every host
