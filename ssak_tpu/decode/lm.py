@@ -200,6 +200,35 @@ class HashedNgrams:
                     j, d = (j + 1) & mask, d + 1
         self.max_probe = int(disp.max()) + 1 if n else 1
 
+    @classmethod
+    def from_arrays(cls, fp, val, max_probe: int):
+        """Reconstruct from serialized (fp, val, max_probe) — the disk
+        cache path (decode/table_cache.py); skips Robin Hood insertion."""
+        obj = cls.__new__(cls)
+        obj.fp = fp
+        obj.val = val
+        obj.size = len(fp)
+        obj.max_probe = int(max_probe)
+        return obj
+
+
+def arpa_order(path: str) -> int:
+    """Highest n-gram order declared in an ARPA file's \\data\\ header —
+    reads only the header, no full parse (the table-cache fast path needs
+    the order gate before deciding whether to parse at all)."""
+    order = 0
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("ngram "):
+                try:
+                    order = max(order, int(line.split()[1].split("=")[0]))
+                except (IndexError, ValueError):
+                    pass
+            elif "-grams:" in line:  # body starts; header fully read
+                break
+    return order
+
 
 def word_lm_device_tables(lm: ArpaLM, words, max_order: int = 3):
     """Export an ARPA WORD LM against a word-id space (the lexicon's sorted

@@ -241,17 +241,27 @@ def ctc_infer(
 
     # prebuild device tables ONCE per model: trie tables + (when the LM is
     # order<=3 and a lexicon identifies word completions) hashed word-LM
-    # tables, so lm+lexicon+beam decoding runs fully on device
+    # tables, so lm+lexicon+beam decoding runs fully on device. The
+    # builds are disk-cached keyed on the source file digests
+    # (decode/table_cache.py) — a service restarting on the same
+    # lexicon/LM skips ~2 s of table construction per start.
     lex_tables = word_lm_tables = None
     if lexicon is not None and beam_width > 1:
-        lex_tables = lexicon.device_tables(model.vocab(), word_delimiter=model.tokenizer.word_delimiter)
-        if lm is not None:
-            from ssak_tpu.decode.lm import ArpaLM, word_lm_device_tables
+        from ssak_tpu.decode.table_cache import lexicon_tables_cached, word_lm_tables_cached
 
-            arpa = lm if isinstance(lm, ArpaLM) else ArpaLM(lm_path)
-            if arpa.order <= 3:  # device context carries order-1 word ids
-                word_lm_tables = word_lm_device_tables(arpa, lexicon.word_list())
-                lex_tables = (*lex_tables, lexicon.node_word_ids())
+        trans, accept, node_word_ids = lexicon_tables_cached(
+            lexicon, lexicon_path, model.vocab(), word_delimiter=model.tokenizer.word_delimiter)
+        lex_tables = (trans, accept)
+        if lm is not None:
+            from ssak_tpu.decode.lm import ArpaLM, arpa_order
+
+            order = lm.order if isinstance(lm, ArpaLM) else arpa_order(lm_path)
+            if order <= 3:  # device context carries order-1 word ids
+                # factory: the full ARPA parse only runs on a cache MISS
+                word_lm_tables = word_lm_tables_cached(
+                    lambda: lm if isinstance(lm, ArpaLM) else ArpaLM(lm_path),
+                    lm_path, lexicon.word_list())
+                lex_tables = (trans, accept, node_word_ids)
     # host-beam routes get a worker pool when asked (reference
     # kaldi_infer.py:175 used multiprocessing for exactly this)
     pool = None
